@@ -1,0 +1,143 @@
+"""Feature extractors: batch and streaming log-spectrogram parsers.
+
+TPU-native re-design of danspeech/audio/parsers.py — the STFT itself runs
+on-device through :mod:`danspeech_tpu.ops.stft`; these classes own the
+host-side state machines (sample buffering, adaptive normalization) that the
+reference keeps in Python.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import stft as stft_ops
+from .windows import get_window
+
+
+def get_default_audio_config() -> dict:
+    """Reference defaults (danspeech/deepspeech/utils.py:1-8)."""
+    return {
+        "normalize": True,
+        "sampling_rate": 16000,
+        "window": "hamming",
+        "window_stride": 0.01,
+        "window_size": 0.02,
+    }
+
+
+class AudioParser:
+    """Shared config handling (reference parsers.py:13-34)."""
+
+    def __init__(self, audio_config: dict | None = None):
+        self.audio_config = dict(audio_config or {})
+        self.normalize = self.audio_config.get("normalize", True)
+        self.sampling_rate = self.audio_config.get("sampling_rate", 16000)
+        self.window_name = self.audio_config.get("window", "hamming")
+        self.window_stride = self.audio_config.get("window_stride", 0.01)
+        self.window_size = self.audio_config.get("window_size", 0.02)
+
+        self.n_fft = int(self.sampling_rate * self.window_size)
+        self.hop_length = int(self.sampling_rate * self.window_stride)
+        self.window = jnp.asarray(
+            get_window(self.window_name, self.n_fft), dtype=jnp.float32
+        )
+
+    def parse_audio(self, recording):
+        raise NotImplementedError
+
+
+class SpectrogramAudioParser(AudioParser):
+    """One-shot utterance parser (reference parsers.py:37-72).
+
+    Returns a (161, T) float32 device array: center-padded |STFT|, log1p,
+    per-utterance mean/std (unbiased) normalization.
+    """
+
+    def parse_audio(self, recording) -> jnp.ndarray:
+        y = jnp.asarray(np.asarray(recording), dtype=jnp.float32)
+        return stft_ops.log_spectrogram(
+            y,
+            self.n_fft,
+            self.hop_length,
+            self.window,
+            center=True,
+            normalize=self.normalize,
+        )
+
+
+class InferenceSpectrogramAudioParser(AudioParser):
+    """Streaming parser with rolling sample buffer + adaptive normalization.
+
+    Replicates InferenceSpectrogramAudioParser (reference parsers.py:75-170)
+    exactly:
+
+    - chunks are STFT'd with ``center=False``; a ``hop_length``-sized sample
+      tail (plus hop remainder) carries over so frames tile the stream,
+    - normalization stats blend fixed NST dataset statistics with running
+      input statistics, ramping ``alpha`` by 0.1 per chunk (≈1 s),
+    - a final chunk shorter than ``n_fft`` is dropped (returns []).
+    """
+
+    DATASET_MEAN = 5.492418704733003
+    DATASET_STD = 1.7552755216970917
+
+    def __init__(self, audio_config: dict | None = None):
+        super().__init__(audio_config)
+        self.input_mean = 0.0
+        self.input_std = 0.0
+        self.alpha = 0.0
+        self.alpha_increment = 0.1
+        self.buffer = None
+        self.has_buffer = False
+
+    def parse_audio(self, part_of_recording, is_last: bool = False):
+        part = np.asarray(part_of_recording, dtype=np.float32)
+
+        if is_last and len(part) < self.n_fft:
+            self.reset()
+            return []
+
+        if self.has_buffer:
+            part = np.concatenate((self.buffer, part), axis=None)
+
+        # Hold back the hop remainder so chunk boundaries tile exactly.
+        extra_samples = len(part) % self.hop_length
+        if extra_samples != 0:
+            extra_samples_array = part[-extra_samples:]
+            part = part[:-extra_samples]
+
+        self.buffer = part[-self.hop_length :]
+        if extra_samples != 0:
+            self.buffer = np.concatenate((self.buffer, extra_samples_array), axis=None)
+        self.has_buffer = True
+
+        spect = jnp.log1p(
+            stft_ops.magnitude_stft(
+                jnp.asarray(part), self.n_fft, self.hop_length, self.window, center=False
+            )
+        )
+
+        # Adaptive normalization (reference parsers.py:146-157). The running
+        # stats use numpy biased std over the chunk, as np.std does there.
+        self.alpha += self.alpha_increment
+        chunk_mean = float(jnp.mean(spect))
+        chunk_std = float(jnp.std(spect))
+        self.input_mean = (self.input_mean + chunk_mean) / 2
+        self.input_std = (self.input_std + chunk_std) / 2
+
+        if self.alpha < 1.0:
+            mean = self.input_mean * self.alpha + (1 - self.alpha) * self.DATASET_MEAN
+            std = self.input_std * self.alpha + (1 - self.alpha) * self.DATASET_STD
+        else:
+            mean = self.input_mean
+            std = self.input_std
+
+        return (spect - mean) / std
+
+    def reset(self):
+        self.buffer = None
+        self.has_buffer = False
+        self.input_mean = 0.0
+        self.input_std = 0.0
+        self.alpha = 0.0
