@@ -135,11 +135,31 @@ def batched_log_spectrogram(
     """
     n_samples = batch.shape[-1]
     t = num_frames(n_samples, n_fft, hop, center=True)
+    half = n_fft // 2
 
-    def one(y):
-        return jnp.log1p(magnitude_stft(y, n_fft, hop, window, center=True, use_fft=use_fft))
+    def one(y, length):
+        # librosa center=True reflect-pads both ends of the *utterance*; for a
+        # zero-padded batch row the right reflection must happen at the
+        # dynamic length boundary, not at the padded end:
+        #   y_pad[half + length + k] = y[length - 2 - k],  k in [0, half)
+        padded = jnp.pad(y, (half, half), mode="constant")
+        start = jnp.maximum(length - half - 1, 0)
+        tail = jax.lax.dynamic_slice(y, (start,), (half,))  # y[length-half-1 : length-1]
+        padded = jax.lax.dynamic_update_slice(padded, tail[::-1], (half + length,))
+        # left edge: rows are valid from 0, so plain reflect is correct
+        padded = padded.at[:half].set(y[1 : half + 1][::-1])
+        idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
+        frames = padded[idx] * window[None, :]
+        if use_fft:
+            spec = jnp.abs(jnp.fft.rfft(frames, axis=-1))
+        else:
+            cos_m, sin_m = _dft_matrices(n_fft, str(frames.dtype))
+            re = jnp.dot(frames, cos_m, preferred_element_type=jnp.float32)
+            im = jnp.dot(frames, sin_m, preferred_element_type=jnp.float32)
+            spec = jnp.sqrt(re * re + im * im)
+        return jnp.log1p(spec.T)
 
-    spect = jax.vmap(one)(batch)  # (B, F, T)
+    spect = jax.vmap(one)(batch, lengths)  # (B, F, T)
     frame_lengths = 1 + lengths // hop
     if normalize:
         mask = (jnp.arange(t)[None, :] < frame_lengths[:, None]).astype(spect.dtype)
