@@ -1,0 +1,150 @@
+"""Conv stack ops: masked 2D convs, eval-mode batchnorm, hardtanh, lookahead.
+
+Replaces the reference conv path (model.py:50-81 MaskConv, :357-396 conv
+stack, :125-153 Lookahead) with XLA convolutions — on TPU,
+``lax.conv_general_dilated`` lowers onto the MXU; BN (eval) and hardtanh fuse
+into the conv epilogue, so no Pallas is needed for this stage to hit
+speed-of-light.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ConvParams(NamedTuple):
+    """One conv block: Conv2d + BatchNorm2d (eval stats)."""
+
+    weight: jnp.ndarray  # (O, I, Kf, Kt) — torch layout
+    bias: jnp.ndarray  # (O,)
+    bn_gamma: jnp.ndarray  # (O,)
+    bn_beta: jnp.ndarray  # (O,)
+    bn_mean: jnp.ndarray  # (O,)
+    bn_var: jnp.ndarray  # (O,)
+
+
+def hardtanh(x: jnp.ndarray, lo: float = 0.0, hi: float = 20.0) -> jnp.ndarray:
+    """Hardtanh(0, 20) — the reference's conv/lookahead activation."""
+    return jnp.clip(x, lo, hi)
+
+
+def conv2d(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    stride: tuple[int, int],
+    padding: tuple[int, int],
+) -> jnp.ndarray:
+    """torch.nn.Conv2d-equivalent on NCHW input."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        weight,
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    if bias is not None:
+        out = out + bias[None, :, None, None]
+    return out
+
+
+def batchnorm_eval(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    eps: float = 1e-5,
+    channel_axis: int = 1,
+) -> jnp.ndarray:
+    """BatchNorm in eval mode: a per-channel affine with running stats."""
+    shape = [1] * x.ndim
+    shape[channel_axis] = -1
+    scale = (gamma / jnp.sqrt(var + eps)).reshape(shape)
+    shift = (beta - mean * gamma / jnp.sqrt(var + eps)).reshape(shape)
+    return x * scale + shift
+
+
+def fold_bn_into_conv(p: ConvParams, eps: float = 1e-5) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold eval-mode BN into the conv weight/bias — exact for inference.
+
+    mask(htanh(bn(conv(x)))) == mask(htanh(conv'(x))) with
+    w' = w * gamma/sqrt(var+eps) per output channel.
+    """
+    scale = p.bn_gamma / jnp.sqrt(p.bn_var + eps)
+    w = p.weight * scale[:, None, None, None]
+    b = (p.bias - p.bn_mean) * scale + p.bn_beta
+    return w, b
+
+
+def time_mask(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Zero activations past each row's (final) sequence length.
+
+    x is (N, C, F, T); the reference masks with the post-conv-stack lengths
+    after every module (model.py:71-80), which reduces to masking each
+    block's output since intermediate re-masks are idempotent.
+    """
+    t = x.shape[-1]
+    mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(x.dtype)
+    return x * mask[:, None, None, :]
+
+
+def conv_block(
+    x: jnp.ndarray,
+    p: ConvParams,
+    lengths: jnp.ndarray,
+    stride: tuple[int, int],
+    padding: tuple[int, int],
+    folded: bool = True,
+) -> jnp.ndarray:
+    """conv -> BN(eval) -> hardtanh -> length mask, optionally with BN folded."""
+    if folded:
+        w, b = fold_bn_into_conv(p)
+        out = conv2d(x, w, b, stride, padding)
+    else:
+        out = conv2d(x, p.weight, p.bias, stride, padding)
+        out = batchnorm_eval(out, p.bn_gamma, p.bn_beta, p.bn_mean, p.bn_var)
+    return time_mask(hardtanh(out), lengths)
+
+
+def conv_out_length(length, kernel: int, stride: int, padding: int, dilation: int = 1):
+    """Conv1d/2d output length along one axis (reference get_seq_lens,
+    model.py:540-551)."""
+    return (length + 2 * padding - dilation * (kernel - 1) - 1) // stride + 1
+
+
+class LookaheadParams(NamedTuple):
+    weight: jnp.ndarray  # (H, context) — depthwise taps over future frames
+
+
+def lookahead(x: jnp.ndarray, p: LookaheadParams) -> jnp.ndarray:
+    """Lookahead convolution over future context (model.py:125-153).
+
+    x is (T, B, H); output[t] = sum_k w[:, k] * x[t + k] with the sequence
+    right-padded by context-1 zeros. Implemented as a stacked shift + einsum
+    so XLA folds it into one fused contraction.
+    """
+    t = x.shape[0]
+    context = p.weight.shape[1]
+    x_pad = jnp.pad(x, ((0, context - 1), (0, 0), (0, 0)))
+    stacked = jnp.stack([x_pad[k : k + t] for k in range(context)])  # (C, T, B, H)
+    return jnp.einsum("ctbh,hc->tbh", stacked, p.weight, preferred_element_type=jnp.float32)
+
+
+class BatchNormParams(NamedTuple):
+    gamma: jnp.ndarray
+    beta: jnp.ndarray
+    mean: jnp.ndarray
+    var: jnp.ndarray
+
+    def scale_shift(self, eps: float = 1e-5):
+        scale = self.gamma / jnp.sqrt(self.var + eps)
+        return scale, self.beta - self.mean * scale
+
+
+class LinearParams(NamedTuple):
+    weight: jnp.ndarray  # (out, in) — torch layout
+    bias: jnp.ndarray | None

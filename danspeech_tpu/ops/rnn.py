@@ -1,0 +1,277 @@
+"""GRU / LSTM / vanilla-RNN recurrences as jit-friendly scans.
+
+TPU-first replacement for the cuDNN RNN kernels the reference leans on
+(model.py:96-122 BatchRNN, :204-237 BatchRNNStream). Design:
+
+- The input projection for *all* timesteps is one large (T·B, I) x (I, 3H)
+  matmul that runs on the MXU before the scan starts — the scan body only
+  does the (B, H) x (H, 3H) recurrent matmul plus elementwise gates.
+- Bidirectional layers stack both directions into a single scan with a
+  leading direction axis (the backward direction consumes the
+  length-aware-reversed sequence), so one scan drives 2x batch.
+- Sequence-length masking reproduces torch pack_padded_sequence semantics:
+  outputs past a row's length are zeros and its hidden state freezes at the
+  last valid step.
+
+Weight convention: ``w_ih`` is (I, G·H), ``w_hh`` is (H, G·H) — transposed
+from torch's (G·H, I) so matmuls need no transposes at runtime. Gate order
+matches torch: GRU (r, z, n), LSTM (i, f, g, o).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GRUWeights(NamedTuple):
+    """One direction of one GRU layer."""
+
+    w_ih: jnp.ndarray  # (I, 3H)
+    w_hh: jnp.ndarray  # (H, 3H)
+    b_ih: jnp.ndarray  # (3H,)
+    b_hh: jnp.ndarray  # (3H,)
+
+
+def _gru_cell(h, gx, w_hh, b_hh):
+    """One GRU step. ``gx`` = x @ w_ih + b_ih, precomputed.
+
+    Torch GRU semantics (gate order r, z, n; note the recurrent bias b_hn
+    sits *inside* the reset gate product).
+    """
+    hidden = h.shape[-1]
+    gh = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+    gx_r, gx_z, gx_n = jnp.split(gx, 3, axis=-1)
+    gh_r, gh_z, gh_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(gx_r + gh_r)
+    z = jax.nn.sigmoid(gx_z + gh_z)
+    n = jnp.tanh(gx_n + r * gh_n)
+    del hidden
+    return (1.0 - z) * n + z * h
+
+
+def _reverse_valid(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Reverse each row's valid prefix in time: out[t] = x[len-1-t] for t<len.
+
+    Positions t >= len are left as-is (they are masked downstream). x is
+    (T, B, ...), lengths (B,).
+    """
+    t_max = x.shape[0]
+    t_idx = jnp.arange(t_max)[:, None]  # (T, 1)
+    rev = lengths[None, :] - 1 - t_idx  # (T, B)
+    idx = jnp.where(rev >= 0, rev, t_idx)
+    return jnp.take_along_axis(
+        x, idx.reshape(t_max, -1, *([1] * (x.ndim - 2))).astype(jnp.int32), axis=0
+    )
+
+
+def gru_layer(
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    fwd: GRUWeights,
+    bwd: GRUWeights | None = None,
+    h0: jnp.ndarray | None = None,
+    sum_directions: bool = True,
+):
+    """Run one (optionally bidirectional) GRU layer over (T, B, I).
+
+    Returns (outputs, h_last):
+      outputs — (T, B, H) with directions summed (reference BatchRNN
+                model.py:120-121) or (T, B, 2H) concatenated if
+                ``sum_directions=False``;
+      h_last  — (D, B, H) final hidden state per direction, matching packed
+                semantics (the last *valid* step of each row).
+    """
+    t_max, batch, _ = x.shape
+    hidden = fwd.w_hh.shape[0]
+    directions = [fwd] if bwd is None else [fwd, bwd]
+    ndir = len(directions)
+
+    # Stack direction inputs: forward sees x, backward sees valid-reversed x.
+    if ndir == 2:
+        x_stack = jnp.stack([x, _reverse_valid(x, lengths)], axis=1)  # (T, D, B, I)
+    else:
+        x_stack = x[:, None]
+
+    w_ih = jnp.stack([d.w_ih for d in directions])  # (D, I, 3H)
+    w_hh = jnp.stack([d.w_hh for d in directions])  # (D, H, 3H)
+    b_ih = jnp.stack([d.b_ih for d in directions])  # (D, 3H)
+    b_hh = jnp.stack([d.b_hh for d in directions])
+
+    # Big MXU matmul up front: all timesteps, all directions.
+    gx = (
+        jnp.einsum(
+            "tdbi,dik->tdbk", x_stack, w_ih, preferred_element_type=jnp.float32
+        )
+        + b_ih[None, :, None, :]
+    )
+
+    if h0 is None:
+        h0 = jnp.zeros((ndir, batch, hidden), dtype=x.dtype)
+
+    mask = (jnp.arange(t_max)[:, None] < lengths[None, :]).astype(x.dtype)  # (T, B)
+
+    def step(h, inputs):
+        gx_t, m_t = inputs  # (D, B, 3H), (B,)
+        gh = (
+            jnp.einsum("dbh,dhk->dbk", h, w_hh, preferred_element_type=jnp.float32)
+            + b_hh[:, None, :]
+        )
+        gx_r, gx_z, gx_n = jnp.split(gx_t, 3, axis=-1)
+        gh_r, gh_z, gh_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(gx_r + gh_r)
+        z = jax.nn.sigmoid(gx_z + gh_z)
+        n = jnp.tanh(gx_n + r * gh_n)
+        h_new = (1.0 - z) * n + z * h
+        m = m_t[None, :, None]
+        h_next = m * h_new + (1.0 - m) * h  # freeze past row length
+        return h_next, h_new * m  # padded outputs are zero
+
+    h_last, out = jax.lax.scan(step, h0, (gx, mask))
+    # out: (T, D, B, H)
+
+    if ndir == 2:
+        out_f = out[:, 0]
+        out_b = _reverse_valid(out[:, 1], lengths)  # restore time order
+        merged = out_f + out_b if sum_directions else jnp.concatenate([out_f, out_b], -1)
+    else:
+        merged = out[:, 0]
+    return merged, h_last
+
+
+def gru_layer_streaming(
+    x: jnp.ndarray, weights: GRUWeights, h0: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Unidirectional full-length GRU chunk step with carried hidden state.
+
+    Used by the streaming path (reference BatchRNNStream model.py:219-237):
+    no masking, hidden state threads across chunk calls. x is (T, B, I),
+    h0 is (B, H). Returns ((T, B, H), h_last).
+    """
+    gx = (
+        jnp.einsum("tbi,ik->tbk", x, weights.w_ih, preferred_element_type=jnp.float32)
+        + weights.b_ih
+    )
+
+    def step(h, gx_t):
+        h_new = _gru_cell(h, gx_t, weights.w_hh, weights.b_hh)
+        return h_new, h_new
+
+    h_last, out = jax.lax.scan(step, h0, gx)
+    return out, h_last
+
+
+class LSTMWeights(NamedTuple):
+    w_ih: jnp.ndarray  # (I, 4H)
+    w_hh: jnp.ndarray  # (H, 4H)
+    b_ih: jnp.ndarray  # (4H,)
+    b_hh: jnp.ndarray  # (4H,)
+
+
+def lstm_layer(
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    fwd: LSTMWeights,
+    bwd: LSTMWeights | None = None,
+    sum_directions: bool = True,
+):
+    """Bidirectional-capable LSTM layer (torch gate order i, f, g, o).
+
+    Supports the reference's ``rnn_type='lstm'`` checkpoints
+    (model.py:14-18 supported_rnns).
+    """
+    t_max, batch, _ = x.shape
+    hidden = fwd.w_hh.shape[0]
+    directions = [fwd] if bwd is None else [fwd, bwd]
+    ndir = len(directions)
+
+    if ndir == 2:
+        x_stack = jnp.stack([x, _reverse_valid(x, lengths)], axis=1)
+    else:
+        x_stack = x[:, None]
+
+    w_ih = jnp.stack([d.w_ih for d in directions])
+    w_hh = jnp.stack([d.w_hh for d in directions])
+    b_ih = jnp.stack([d.b_ih for d in directions])
+    b_hh = jnp.stack([d.b_hh for d in directions])
+
+    gx = (
+        jnp.einsum(
+            "tdbi,dik->tdbk", x_stack, w_ih, preferred_element_type=jnp.float32
+        )
+        + b_ih[None, :, None, :]
+    )
+    h0 = jnp.zeros((ndir, batch, hidden), dtype=x.dtype)
+    c0 = jnp.zeros((ndir, batch, hidden), dtype=x.dtype)
+    mask = (jnp.arange(t_max)[:, None] < lengths[None, :]).astype(x.dtype)
+
+    def step(carry, inputs):
+        h, c = carry
+        gx_t, m_t = inputs
+        gh = (
+            jnp.einsum("dbh,dhk->dbk", h, w_hh, preferred_element_type=jnp.float32)
+            + b_hh[:, None, :]
+        )
+        gi, gf, gg, go = jnp.split(gx_t + gh, 4, axis=-1)
+        i = jax.nn.sigmoid(gi)
+        f = jax.nn.sigmoid(gf)
+        g = jnp.tanh(gg)
+        o = jax.nn.sigmoid(go)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        m = m_t[None, :, None]
+        return (m * h_new + (1 - m) * h, m * c_new + (1 - m) * c), h_new * m
+
+    (_, _), out = jax.lax.scan(step, (h0, c0), (gx, mask))
+    if ndir == 2:
+        out_f = out[:, 0]
+        out_b = _reverse_valid(out[:, 1], lengths)
+        return (out_f + out_b) if sum_directions else jnp.concatenate([out_f, out_b], -1)
+    return out[:, 0]
+
+
+class RNNWeights(NamedTuple):
+    w_ih: jnp.ndarray  # (I, H)
+    w_hh: jnp.ndarray  # (H, H)
+    b_ih: jnp.ndarray  # (H,)
+    b_hh: jnp.ndarray  # (H,)
+
+
+def rnn_tanh_layer(
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    fwd: RNNWeights,
+    bwd: RNNWeights | None = None,
+    sum_directions: bool = True,
+):
+    """Vanilla tanh RNN layer (reference ``rnn_type='rnn'``)."""
+    t_max, batch, _ = x.shape
+    hidden = fwd.w_hh.shape[0]
+    directions = [fwd] if bwd is None else [fwd, bwd]
+    ndir = len(directions)
+    if ndir == 2:
+        x_stack = jnp.stack([x, _reverse_valid(x, lengths)], axis=1)
+    else:
+        x_stack = x[:, None]
+    w_ih = jnp.stack([d.w_ih for d in directions])
+    w_hh = jnp.stack([d.w_hh for d in directions])
+    b = jnp.stack([d.b_ih + d.b_hh for d in directions])
+    gx = jnp.einsum("tdbi,dik->tdbk", x_stack, w_ih, preferred_element_type=jnp.float32)
+    h0 = jnp.zeros((ndir, batch, hidden), dtype=x.dtype)
+    mask = (jnp.arange(t_max)[:, None] < lengths[None, :]).astype(x.dtype)
+
+    def step(h, inputs):
+        gx_t, m_t = inputs
+        gh = jnp.einsum("dbh,dhk->dbk", h, w_hh, preferred_element_type=jnp.float32)
+        h_new = jnp.tanh(gx_t + gh + b[:, None, :])
+        m = m_t[None, :, None]
+        return m * h_new + (1 - m) * h, h_new * m
+
+    _, out = jax.lax.scan(step, h0, (gx, mask))
+    if ndir == 2:
+        out_f = out[:, 0]
+        out_b = _reverse_valid(out[:, 1], lengths)
+        return (out_f + out_b) if sum_directions else jnp.concatenate([out_f, out_b], -1)
+    return out[:, 0]
