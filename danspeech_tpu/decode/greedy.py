@@ -1,0 +1,73 @@
+"""Greedy CTC decoding.
+
+Replaces GreedyDecoder (reference decoder.py:147-198). The argmax runs
+on-device inside the jitted pipeline; the collapse (drop blanks + merge
+repeats, with per-character frame offsets) is a vectorized numpy pass on the
+tiny (B, T) int output — no per-frame Python loop like the reference's
+process_string (decoder.py:166-181).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .metrics import cer as _cer
+from .metrics import wer as _wer
+
+
+class Decoder:
+    """Base decoder: label bookkeeping + WER/CER helpers (decoder.py:24-88)."""
+
+    def __init__(self, labels: str, blank_index: int = 0):
+        self.labels = labels
+        self.int_to_char = dict(enumerate(labels))
+        self.blank_index = blank_index
+        self.space_index = labels.index(" ") if " " in labels else len(labels)
+
+    def wer(self, s1: str, s2: str) -> int:
+        return _wer(s1, s2)
+
+    def cer(self, s1: str, s2: str) -> int:
+        return _cer(s1, s2)
+
+    def decode(self, probs, sizes=None):
+        raise NotImplementedError
+
+
+def collapse_sequence(
+    seq: np.ndarray, size: int, labels: str, blank_index: int
+) -> tuple[str, np.ndarray]:
+    """Collapse an argmax path: merge repeats, drop blanks, keep offsets."""
+    seq = np.asarray(seq[:size])
+    if seq.size == 0:
+        return "", np.zeros((0,), dtype=np.int32)
+    prev = np.concatenate(([blank_index], seq[:-1]))
+    keep = (seq != blank_index) & (seq != prev)
+    offsets = np.nonzero(keep)[0].astype(np.int32)
+    chars = [labels[i] for i in seq[keep]]
+    return "".join(chars), offsets
+
+
+class GreedyDecoder(Decoder):
+    def __init__(self, labels: str, blank_index: int = 0):
+        super().__init__(labels, blank_index)
+
+    def decode(self, probs, sizes=None):
+        """Argmax decode of (B, T, C) probabilities.
+
+        Returns (strings, offsets) in the reference's nested-list layout:
+        strings[b] is a one-element list (single path), offsets likewise
+        (decoder.py:183-198).
+        """
+        max_probs = np.asarray(jnp.argmax(jnp.asarray(probs), axis=2))
+        batch = max_probs.shape[0]
+        strings, offsets = [], []
+        for b in range(batch):
+            size = int(sizes[b]) if sizes is not None else max_probs.shape[1]
+            s, off = collapse_sequence(
+                max_probs[b], size, self.labels, self.blank_index
+            )
+            strings.append([s])
+            offsets.append([off])
+        return strings, offsets

@@ -1,0 +1,355 @@
+"""Inference engine: model/decoder lifecycle + transcription paths.
+
+TPU-native counterpart of DanSpeechRecognizer
+(/root/reference/danspeech/DanSpeechRecognizer.py). Differences by design:
+
+- the whole hot path (spectrogram -> conv -> RNN -> head -> softmax) is one
+  jitted device program; waveforms are padded to length buckets so shapes
+  (and thus compilations) are bounded,
+- batch transcription is first-class (the reference hard-codes batch 1,
+  DanSpeechRecognizer.py:220),
+- streaming state is a device pytree threaded through jitted chunk steps.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .decode.greedy import GreedyDecoder
+from .errors import ModelNotInitialized
+from .features.spectrogram import (
+    InferenceSpectrogramAudioParser,
+    SpectrogramAudioParser,
+)
+from .models import deepspeech as ds
+from .models.streaming import init_stream_state, streaming_step
+from .ops import stft as stft_ops
+
+
+class NoLmInstantiatedWarning(Warning):
+    pass
+
+
+def _bucket(n: int, quantum: int) -> int:
+    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
+
+
+class DanSpeechRecognizer:
+    """Holds the active model + decoder and runs transcription."""
+
+    # waveform lengths are padded up to multiples of this many samples (1 s)
+    SAMPLE_BUCKET = 16000
+    # streaming chunk frame counts padded to multiples of this
+    CHUNK_BUCKET = 16
+
+    def __init__(
+        self,
+        model_name=None,
+        lm_name=None,
+        alpha: float = 1.3,
+        beta: float = 0.2,
+        with_gpu: bool = False,  # accepted for API parity; device is managed by JAX
+        beam_width: int = 64,
+    ):
+        devices = jax.devices()
+        print(f"Using device: {devices[0].platform}:{devices[0]}")
+
+        self.model = None
+        self.model_name = None
+        self.labels = None
+        self.audio_config = None
+        self.audio_parser = None
+        if model_name:
+            self.update_model(model_name)
+
+        self.alpha = alpha
+        self.beta = beta
+        self.beam_width = beam_width
+
+        if lm_name:
+            if not self.model:
+                raise ModelNotInitialized(
+                    "Trying to initialize LM without also choosing an acoustic model."
+                )
+            self.lm = None
+            self.decoder = None
+            self.update_decoder(lm_name)
+        else:
+            self.lm = None
+            self.decoder = None
+            if self.model:
+                self.update_decoder(labels=self.labels)
+
+        # streaming state
+        self.secondary_model = None
+        self.greedy_decoder = None
+        self.string_parts = False
+        self._stream_state = None
+        self.full_output = []
+        self.iterating_transcript = ""
+        self.spectrograms = []
+
+        # per-model jit caches
+        self._forward_fn = None
+        self._stream_fns: dict = {}
+        self._secondary_fn = None
+
+    # ------------------------------------------------------------------
+    # Model / decoder lifecycle
+    # ------------------------------------------------------------------
+
+    def update_model(self, model) -> None:
+        """Swap the acoustic model (reference :48-56)."""
+        self.model = model
+        self.model_name = model.model_name
+        self.audio_config = model.audio_conf
+        self.audio_parser = SpectrogramAudioParser(self.audio_config)
+        self.labels = model.labels
+        self.update_decoder(labels=self.labels)
+        self._forward_fn = None
+        self._stream_fns = {}
+
+    def update_decoder(self, lm=None, alpha=None, beta=None, labels=None, beam_width=None):
+        """Decoder hot-swap with change detection (reference :58-95)."""
+        update = False
+        if not self.lm and not self.decoder:
+            update = True
+            self.lm = "greedy"
+        if lm and self.lm != lm:
+            update = True
+            self.lm = lm
+        if alpha and self.alpha != alpha:
+            update = True
+            self.alpha = alpha
+        if beta and self.beta != beta:
+            update = True
+            self.beta = beta
+        if labels and labels != self.labels:
+            update = True
+            self.labels = labels
+        if beam_width and beam_width != self.beam_width:
+            update = True
+            self.beam_width = beam_width
+
+        if update:
+            if self.lm != "greedy":
+                from .decode.beam import BeamCTCDecoder
+
+                self.decoder = BeamCTCDecoder(
+                    labels=self.labels,
+                    lm_path=self.lm,
+                    alpha=self.alpha,
+                    beta=self.beta,
+                    beam_width=self.beam_width,
+                    num_processes=6,
+                    cutoff_prob=1.0,
+                    cutoff_top_n=40,
+                    blank_index=self.labels.index("_"),
+                )
+            else:
+                self.decoder = GreedyDecoder(
+                    labels=self.labels, blank_index=self.labels.index("_")
+                )
+
+    # ------------------------------------------------------------------
+    # Jitted device programs
+    # ------------------------------------------------------------------
+
+    def _forward_jit(self):
+        if self._forward_fn is None:
+            config = self.model.config
+            parser = SpectrogramAudioParser(self.audio_config)
+
+            @jax.jit
+            def run(params, waveforms, lengths):
+                spect, frame_lens = stft_ops.batched_log_spectrogram(
+                    waveforms,
+                    lengths,
+                    parser.n_fft,
+                    parser.hop_length,
+                    parser.window,
+                    normalize=parser.normalize,
+                )
+                probs, out_lens = ds.forward(
+                    params, config, spect[:, None, :, :], frame_lens
+                )
+                return probs, out_lens
+
+            self._forward_fn = run
+        return self._forward_fn
+
+    def _stream_step_jit(self, is_first: bool, is_last: bool):
+        key = (is_first, is_last)
+        if key not in self._stream_fns:
+            config = self.model.config
+
+            @jax.jit
+            def run(params, spect_chunk, state):
+                return streaming_step(
+                    params, config, spect_chunk, state, is_first, is_last
+                )
+
+            self._stream_fns[key] = run
+        return self._stream_fns[key]
+
+    # ------------------------------------------------------------------
+    # Batch transcription
+    # ------------------------------------------------------------------
+
+    def _run_acoustic_batch(self, recordings: list[np.ndarray]):
+        """Waveforms -> (probs (B, T, C) ndarray, out_lengths ndarray)."""
+        if self.model is None:
+            raise ModelNotInitialized("No acoustic model loaded")
+        lengths = np.array([len(r) for r in recordings], dtype=np.int32)
+        maxlen = _bucket(int(lengths.max()), self.SAMPLE_BUCKET)
+        batch = np.zeros((len(recordings), maxlen), dtype=np.float32)
+        for i, r in enumerate(recordings):
+            batch[i, : len(r)] = r
+        probs, out_lens = self._forward_jit()(
+            self.model.params, jnp.asarray(batch), jnp.asarray(lengths)
+        )
+        return np.asarray(probs), np.asarray(out_lens)
+
+    def transcribe(self, recording, show_all: bool = False):
+        """One-shot transcription of a waveform (reference :218-231)."""
+        probs, out_lens = self._run_acoustic_batch([np.asarray(recording)])
+        decoded_output, _ = self.decoder.decode(probs, out_lens)
+        if show_all:
+            if self.lm == "greedy":
+                warnings.warn(
+                    "You are trying to get all beams but no LM has been instantiated.",
+                    NoLmInstantiatedWarning,
+                )
+            return decoded_output[0]
+        return decoded_output[0][0]
+
+    def transcribe_batch(self, recordings: list, show_all: bool = False) -> list:
+        """Data-parallel batch transcription (no reference analog — the
+        reference loops utterances one at a time)."""
+        probs, out_lens = self._run_acoustic_batch(
+            [np.asarray(r) for r in recordings]
+        )
+        decoded_output, _ = self.decoder.decode(probs, out_lens)
+        if show_all:
+            return decoded_output
+        return [d[0] for d in decoded_output]
+
+    # ------------------------------------------------------------------
+    # Streaming (reference :98-216)
+    # ------------------------------------------------------------------
+
+    def enable_streaming(self, secondary_model=None, return_string_parts=True):
+        self.full_output = []
+        self.iterating_transcript = ""
+        self.secondary_model = secondary_model
+        self.spectrograms = []
+        self.greedy_decoder = GreedyDecoder(
+            labels=self.labels, blank_index=self.labels.index("_")
+        )
+        self.audio_parser = InferenceSpectrogramAudioParser(
+            audio_config=self.audio_config
+        )
+        self.string_parts = bool(return_string_parts)
+        self._stream_state = None
+
+    def disable_streaming(self, keep_secondary_model=False):
+        self.audio_parser = SpectrogramAudioParser(self.audio_config)
+        self.greedy_decoder = None
+        self.reset_streaming_params()
+        self.string_parts = False
+        if not keep_secondary_model:
+            self.secondary_model = None
+
+    def reset_streaming_params(self):
+        self.iterating_transcript = ""
+        self.full_output = []
+        self.spectrograms = []
+        self._stream_state = None
+
+    def streaming_transcribe(self, recording, is_last: bool, is_first: bool):
+        """Chunked streaming transcription state machine (reference :144-216).
+
+        Greedy partials per chunk; on the final chunk, either a secondary
+        (bidirectional) model re-transcribes the concatenated spectrograms,
+        or the LM decoder rescores the concatenated probability stream.
+        """
+        spect = self.audio_parser.parse_audio(recording, is_last)
+        out = ""
+        if len(spect) != 0:
+            if self.secondary_model is not None:
+                self.spectrograms.append(np.asarray(spect))
+
+            chunk = jnp.asarray(spect)[None, None, :, :]
+            if self._stream_state is None:
+                self._stream_state = init_stream_state(self.model.config)
+            probs, self._stream_state = self._stream_step_jit(is_first, is_last)(
+                self.model.params, chunk, self._stream_state
+            )
+
+            if is_first:
+                return ""
+
+            probs = np.asarray(probs)
+            self.full_output.append(probs)
+            decoded_out, _ = self.greedy_decoder.decode(probs)
+            transcript = decoded_out[0][0]
+
+            # chunk-boundary repeated-char join hack (reference :170-174)
+            if (
+                self.iterating_transcript
+                and transcript
+                and self.iterating_transcript[-1] == transcript[0]
+            ):
+                self.iterating_transcript += transcript[1:]
+                transcript = transcript[1:]
+            else:
+                self.iterating_transcript += transcript
+
+            out = transcript if self.string_parts else self.iterating_transcript
+
+        if is_last:
+            if len(self.iterating_transcript) > 1:
+                if self.secondary_model is not None:
+                    final = np.concatenate(self.spectrograms, axis=1)
+                    self.spectrograms = []
+                    probs, out_lens = self._run_secondary(final)
+                    decoded_out, _ = self.decoder.decode(probs, out_lens)
+                    self.reset_streaming_params()
+                    return decoded_out[0][0]
+                if self.lm != "greedy":
+                    final_out = np.concatenate(self.full_output, axis=1)
+                    decoded_out, _ = self.decoder.decode(
+                        final_out, np.array([final_out.shape[1]])
+                    )
+                    self.reset_streaming_params()
+                    return decoded_out[0][0]
+                out = self.iterating_transcript
+                self.reset_streaming_params()
+                return out
+            return ""
+
+        return out
+
+    def _run_secondary(self, spect: np.ndarray):
+        """Run the secondary (bidirectional) model over the accumulated
+        spectrogram (reference :186-199)."""
+        model = self.secondary_model
+        if self._secondary_fn is None or self._secondary_fn[0] is not model:
+            config = model.config
+
+            @jax.jit
+            def run(params, x, lengths):
+                return ds.forward(params, config, x, lengths)
+
+            self._secondary_fn = (model, run)
+
+        t = spect.shape[1]
+        x = jnp.asarray(spect)[None, None, :, :]
+        probs, out_lens = self._secondary_fn[1](
+            model.params, x, jnp.asarray([t])
+        )
+        return np.asarray(probs), np.asarray(out_lens)

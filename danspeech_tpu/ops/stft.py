@@ -22,12 +22,16 @@ import numpy as np
 
 @functools.lru_cache(maxsize=8)
 def _dft_matrices(n_fft: int, dtype_name: str):
-    """Real/imag DFT basis (n_fft, n_fft//2+1), cached per size+dtype."""
+    """Real/imag DFT basis (n_fft, n_fft//2+1), cached per size+dtype.
+
+    Cached as *numpy* so a jit trace never leaks tracers into the cache;
+    jnp converts them to on-device constants at the use site.
+    """
     k = np.arange(n_fft // 2 + 1)
     n = np.arange(n_fft)
     ang = -2.0 * np.pi * np.outer(n, k) / n_fft
-    dtype = jnp.dtype(dtype_name)
-    return jnp.asarray(np.cos(ang), dtype), jnp.asarray(np.sin(ang), dtype)
+    dtype = np.dtype(dtype_name)
+    return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
 
 
 def num_frames(n_samples: int, n_fft: int, hop: int, center: bool) -> int:
