@@ -56,30 +56,29 @@ def _stream_conv(params: Params, x: jnp.ndarray, state: StreamState, is_first: b
     new_left_1 = state.left_1
     new_left_2 = state.left_2
 
-    # --- conv1 input assembly (reference model.py:177-197, i == 0) ---
-    if is_first:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (5, 0)))
-    else:
-        x = jnp.concatenate([state.left_1, x], axis=3)
-    if is_last:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 5)))
-    if not is_last:
-        new_left_1 = x[:, :, :, -10:]
+    def assemble(x, left_cache):
+        """Reference order (model.py:177-197): edge pad (left *elif* right —
+        a first-and-last chunk only pads left), then prepend the 10-col
+        cache, then snapshot the new cache."""
+        if is_first:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (5, 0)))
+        elif is_last:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 5)))
+        if not is_first:
+            x = jnp.concatenate([left_cache, x], axis=3)
+        new_cache = None if is_last else x[:, :, :, -10:]
+        return x, new_cache
 
+    x, new_left_1 = assemble(x, state.left_1)
+    if is_last:
+        new_left_1 = state.left_1
     p1 = params["conv"][0]
     w, b = conv_ops.fold_bn_into_conv(p1)
     x = conv_ops.hardtanh(conv_ops.conv2d(x, w, b, spec1["stride"], spec1["padding"]))
 
-    # --- conv2 input assembly (i == 3) ---
-    if is_first:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (5, 0)))
-    else:
-        x = jnp.concatenate([state.left_2, x], axis=3)
+    x, new_left_2 = assemble(x, state.left_2)
     if is_last:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 5)))
-    if not is_last:
-        new_left_2 = x[:, :, :, -10:]
-
+        new_left_2 = state.left_2
     p2 = params["conv"][1]
     w, b = conv_ops.fold_bn_into_conv(p2)
     x = conv_ops.hardtanh(conv_ops.conv2d(x, w, b, spec2["stride"], spec2["padding"]))

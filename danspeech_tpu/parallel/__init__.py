@@ -1,0 +1,10 @@
+from .mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    data_sharding,
+    initialize_multihost,
+    make_mesh,
+    replicated,
+)
+from .sharding import param_pspecs, param_shardings, shard_params  # noqa: F401
+from .batch import ShardedTranscriber  # noqa: F401

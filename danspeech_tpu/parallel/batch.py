@@ -1,0 +1,96 @@
+"""Data-parallel batched transcription over a device mesh.
+
+The reference processes utterances one at a time on one device
+(DanSpeechRecognizer.py:220). Here a batch of waveforms is padded into a
+dense (B, S) array, rows are sharded over the 'data' mesh axis, and the
+whole spectrogram+acoustic pipeline runs as one pjit'd program; parameters
+are replicated (or TP-sharded) per parallel.sharding.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import deepspeech as ds
+from ..ops import stft as stft_ops
+from ..features.spectrogram import SpectrogramAudioParser
+from .mesh import DATA_AXIS
+from .sharding import shard_params
+
+
+class ShardedTranscriber:
+    """Runs the acoustic model data-parallel across a mesh.
+
+    Pads the utterance batch up to a multiple of the data-axis size and to a
+    sample-length bucket, so compilations are bounded and every shard gets
+    equal rows.
+    """
+
+    SAMPLE_BUCKET = 16000
+
+    def __init__(self, model, mesh: Mesh, shard_model_params: bool = True):
+        self.model = model
+        self.mesh = mesh
+        self.n_data = mesh.shape[DATA_AXIS]
+        parser = SpectrogramAudioParser(model.audio_conf)
+        self._parser = parser
+        config = model.config
+
+        self.params = (
+            shard_params(mesh, model.params) if shard_model_params else model.params
+        )
+
+        in_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        out_sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+        @jax.jit
+        def run(params, waveforms, lengths):
+            spect, frame_lens = stft_ops.batched_log_spectrogram(
+                waveforms,
+                lengths,
+                parser.n_fft,
+                parser.hop_length,
+                parser.window,
+                normalize=parser.normalize,
+            )
+            probs, out_lens = ds.forward(
+                params, config, spect[:, None, :, :], frame_lens
+            )
+            return probs, out_lens
+
+        self._run = jax.jit(
+            run,
+            in_shardings=(None, in_sharding, in_sharding),
+            out_shardings=(out_sharding, out_sharding),
+        )
+
+    def acoustic_probs(self, recordings: list[np.ndarray]):
+        """Waveform list -> (probs (B, T, C), out_lengths) numpy, truncated
+        back to the original batch size."""
+        b = len(recordings)
+        b_pad = -(-b // self.n_data) * self.n_data
+        lengths = np.zeros(b_pad, dtype=np.int32)
+        for i, r in enumerate(recordings):
+            lengths[i] = len(r)
+        maxlen = max(
+            self.SAMPLE_BUCKET,
+            -(-int(lengths.max()) // self.SAMPLE_BUCKET) * self.SAMPLE_BUCKET,
+        )
+        batch = np.zeros((b_pad, maxlen), dtype=np.float32)
+        for i, r in enumerate(recordings):
+            batch[i, : len(r)] = r
+        # padding rows get length 1 to keep masked stats well-defined
+        lengths[b:] = 1
+
+        probs, out_lens = self._run(
+            self.params, jnp.asarray(batch), jnp.asarray(lengths)
+        )
+        return np.asarray(probs)[:b], np.asarray(out_lens)[:b]
+
+    def transcribe(self, recordings: list[np.ndarray], decoder) -> list[str]:
+        probs, out_lens = self.acoustic_probs(recordings)
+        decoded, _ = decoder.decode(probs, out_lens)
+        return [d[0] for d in decoded]

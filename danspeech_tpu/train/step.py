@@ -1,0 +1,100 @@
+"""Training step: CTC loss + optimizer, sharded over the (data, model) mesh.
+
+No reference analog (training lives in an external repo there); built so
+fine-tuning, freeze_layers-style transfer learning, and the multi-chip
+dryrun have a real training path. The step jits end-to-end: spectrograms
+are expected precomputed (B, 1, F, T) — the data pipeline shards rows over
+the 'data' axis, parameters carry TP shardings from parallel.sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import deepspeech as ds
+from ..models.config import DeepSpeechConfig
+from .ctc import mean_ctc_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(learning_rate: float = 3e-4, weight_decay: float = 0.0):
+    if weight_decay:
+        return optax.adamw(learning_rate, weight_decay=weight_decay)
+    return optax.adam(learning_rate)
+
+
+def init_train_state(config: DeepSpeechConfig, optimizer, seed: int = 0) -> TrainState:
+    params = ds.init_params(config, seed=seed)
+    return TrainState(
+        params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32)
+    )
+
+
+def loss_fn(
+    params,
+    config: DeepSpeechConfig,
+    spect: jnp.ndarray,
+    frame_lengths: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+):
+    logits, out_lengths = ds.forward(
+        params, config, spect, frame_lengths, softmax=False
+    )
+    return mean_ctc_loss(
+        logits, out_lengths, labels, label_lengths, blank_id=config.blank_index
+    )
+
+
+def make_train_step(config: DeepSpeechConfig, optimizer, frozen_mask=None):
+    """Build a jittable train step.
+
+    ``frozen_mask``: optional pytree of bools (True = frozen) implementing
+    the reference's freeze_layers capability (model.py:553-597) as gradient
+    masking.
+    """
+
+    def train_step(state: TrainState, spect, frame_lengths, labels, label_lengths):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, config, spect, frame_lengths, labels, label_lengths
+        )
+        if frozen_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: jnp.zeros_like(g) if m else g, grads, frozen_mask
+            )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def freeze_mask(params, number_to_freeze: int, config: DeepSpeechConfig):
+    """Bool pytree freezing the first N layers (conv first, then RNN layers),
+    mirroring reference freeze_layers semantics (model.py:553-597)."""
+    from ..errors import FreezingMoreLayersThanExist
+
+    if number_to_freeze > config.conv_layers + config.rnn_layers:
+        raise FreezingMoreLayersThanExist(
+            "You are trying to freeze more layers than exist in the model"
+        )
+    counter = 0
+    mask = jax.tree_util.tree_map(lambda _: False, params)
+    for i in range(len(params["conv"])):
+        frozen = counter < number_to_freeze
+        mask["conv"][i] = jax.tree_util.tree_map(lambda _: frozen, params["conv"][i])
+        counter += 1
+    for k in range(len(params["rnns"])):
+        frozen = counter < number_to_freeze
+        mask["rnns"][k] = jax.tree_util.tree_map(lambda _: frozen, params["rnns"][k])
+        counter += 1
+    return mask
