@@ -1,0 +1,202 @@
+"""Benchmark: batch greedy decode throughput on the real TPU chip.
+
+Measures audio-seconds of speech processed per wall-second per chip for the
+full pipeline (waveform -> STFT log-spectrogram -> DanSpeechPrimary-shaped
+acoustic model -> greedy CTC decode) over the 13 reference example
+utterances (76.19 s of audio), batched data-parallel on one chip.
+
+Baseline: the same computation in torch on CPU (the reference runs
+CPU/CUDA torch; this environment has no CUDA), measured once and cached in
+benchmarks/baseline_cpu.json.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "audio-s/s/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+EXAMPLES = "/root/reference/example_files/*.wav"
+BASELINE_CACHE = os.path.join(REPO, "benchmarks", "baseline_cpu.json")
+
+FLAGSHIP = dict(
+    model_name="DanSpeechPrimary", rnn_hidden_size=1200, rnn_layers=9,
+    conv_layers=3, bidirectional=True,
+)
+
+
+def load_waveforms():
+    from danspeech_tpu.audio import load_audio_wavPCM
+
+    paths = sorted(glob.glob(EXAMPLES))
+    waves = [load_audio_wavPCM(p) for p in paths]
+    total_audio_s = sum(len(w) for w in waves) / 16000.0
+    return waves, total_audio_s
+
+
+def bench_tpu(waves, iters: int = 5):
+    import jax
+    import jax.numpy as jnp
+
+    from danspeech_tpu.decode.greedy import GreedyDecoder
+    from danspeech_tpu.features.spectrogram import SpectrogramAudioParser
+    from danspeech_tpu.models import deepspeech as ds
+    from danspeech_tpu.models.config import DeepSpeechConfig
+    from danspeech_tpu.ops import stft as stft_ops
+
+    config = DeepSpeechConfig(**FLAGSHIP)
+    params = ds.init_params(config, seed=0)
+    parser = SpectrogramAudioParser(config.audio_conf)
+    decoder = GreedyDecoder(config.labels, blank_index=0)
+
+    lengths = np.array([len(w) for w in waves], dtype=np.int32)
+    maxlen = int(lengths.max())
+    maxlen = -(-maxlen // 16000) * 16000
+    batch = np.zeros((len(waves), maxlen), dtype=np.float32)
+    for i, w in enumerate(waves):
+        batch[i, : len(w)] = w
+
+    @jax.jit
+    def run(params, waveforms, lens):
+        spect, frame_lens = stft_ops.batched_log_spectrogram(
+            waveforms, lens, parser.n_fft, parser.hop_length, parser.window
+        )
+        probs, out_lens = ds.forward(params, config, spect[:, None, :, :], frame_lens)
+        # argmax on device: only the (B, T) paths come back to host
+        return jnp.argmax(probs, axis=-1), out_lens
+
+    jb, jl = jnp.asarray(batch), jnp.asarray(lengths)
+    # warmup / compile
+    paths, out_lens = run(params, jb, jl)
+    jax.block_until_ready(paths)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        paths, out_lens = run(params, jb, jl)
+        jax.block_until_ready(paths)
+    elapsed = (time.perf_counter() - t0) / iters
+
+    # decode once (host-side collapse cost is part of the pipeline)
+    t0 = time.perf_counter()
+    paths_np = np.asarray(paths)
+    out_lens_np = np.asarray(out_lens)
+    from danspeech_tpu.decode.greedy import collapse_sequence
+
+    for b in range(paths_np.shape[0]):
+        collapse_sequence(paths_np[b], int(out_lens_np[b]), config.labels, 0)
+    decode_s = time.perf_counter() - t0
+
+    return elapsed + decode_s
+
+
+def bench_cpu_baseline(waves) -> float:
+    """Reference-stack throughput: torch CPU, utterance at a time (batch=1,
+    like DanSpeechRecognizer.py:220). Cached across runs."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["audio_s_per_s"]
+
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    h, layers = FLAGSHIP["rnn_hidden_size"], FLAGSHIP["rnn_layers"]
+
+    convs = torch.nn.Sequential(
+        torch.nn.Conv2d(1, 32, (41, 11), (2, 2), (20, 5)),
+        torch.nn.BatchNorm2d(32),
+        torch.nn.Hardtanh(0, 20),
+        torch.nn.Conv2d(32, 32, (21, 11), (2, 1), (10, 5)),
+        torch.nn.BatchNorm2d(32),
+        torch.nn.Hardtanh(0, 20),
+        torch.nn.Conv2d(32, 96, (21, 11), (2, 1), (10, 5)),
+        torch.nn.BatchNorm2d(96),
+        torch.nn.Hardtanh(0, 20),
+    ).eval()
+    rnns = [
+        torch.nn.GRU(2016 if k == 0 else h, h, bidirectional=True).eval()
+        for k in range(layers)
+    ]
+    bns = [torch.nn.BatchNorm1d(h).eval() for _ in range(layers - 1)]
+    fc_bn = torch.nn.BatchNorm1d(h).eval()
+    fc = torch.nn.Linear(h, 33, bias=False).eval()
+
+    # torch STFT featurizer (same config as the reference parser)
+    win = torch.hamming_window(320, periodic=False, dtype=torch.float32)
+
+    def one_utt(w):
+        x = torch.tensor(w, dtype=torch.float32)
+        d = torch.stft(x, 320, 160, 320, win, center=True, pad_mode="reflect",
+                       return_complex=True)
+        spect = torch.log1p(d.abs())
+        spect = (spect - spect.mean()) / spect.std()
+        x = spect[None, None]
+        with torch.no_grad():
+            x = convs(x)
+            n, c, f, t = x.shape
+            x = x.view(n, c * f, t).transpose(1, 2).transpose(0, 1)
+            for k, rnn in enumerate(rnns):
+                if k > 0:
+                    tt, nn_ = x.shape[0], x.shape[1]
+                    x = bns[k - 1](x.reshape(tt * nn_, -1)).view(tt, nn_, -1)
+                x, _ = rnn(x)
+                x = x.view(x.size(0), x.size(1), 2, -1).sum(2)
+            tt, nn_ = x.shape[0], x.shape[1]
+            x = fc(fc_bn(x.reshape(tt * nn_, -1))).view(tt, nn_, -1)
+            probs = F.softmax(x, dim=-1)
+            probs.argmax(-1)
+
+    # measure on the first two utterances, extrapolate by audio length
+    sample = waves[:2]
+    t0 = time.perf_counter()
+    for w in sample:
+        one_utt(w)
+    elapsed = time.perf_counter() - t0
+    audio_s = sum(len(w) for w in sample) / 16000.0
+    rate = audio_s / elapsed
+
+    os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(
+            {
+                "audio_s_per_s": rate,
+                "note": "torch CPU, DanSpeechPrimary shape, batch=1 per reference",
+                "machine": os.uname().nodename,
+            },
+            f,
+            indent=2,
+        )
+    return rate
+
+
+def main():
+    waves, total_audio_s = load_waveforms()
+
+    elapsed = bench_tpu(waves)
+    tpu_rate = total_audio_s / elapsed
+
+    try:
+        cpu_rate = bench_cpu_baseline(waves)
+    except Exception as e:  # baseline failure should not kill the bench
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        cpu_rate = None
+
+    result = {
+        "metric": "batch_greedy_decode_throughput",
+        "value": round(tpu_rate, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2) if cpu_rate else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
