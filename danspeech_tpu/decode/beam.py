@@ -38,20 +38,11 @@ def _logaddexp(a: float, b: float) -> float:
 
 
 class _Beam:
-    __slots__ = ("log_pb", "log_pnb", "times", "times_score")
+    __slots__ = ("log_pb", "log_pnb")
 
-    def __init__(self, log_pb=NEG_INF, log_pnb=NEG_INF, times=()):
+    def __init__(self, log_pb=NEG_INF, log_pnb=NEG_INF):
         self.log_pb = log_pb
         self.log_pnb = log_pnb
-        # char emission frames along the highest-scoring contribution seen
-        # (ctcdecode reports the best path's timesteps)
-        self.times = times
-        self.times_score = NEG_INF
-
-    def offer_times(self, score: float, times: tuple):
-        if score > self.times_score:
-            self.times_score = score
-            self.times = times
 
     def total(self) -> float:
         return _logaddexp(self.log_pb, self.log_pnb)
@@ -123,6 +114,14 @@ def prefix_beam_search(
     log_probs = np.log(np.clip(probs, 1e-30, None))
 
     beams: dict[tuple, _Beam] = {(): _Beam(log_pb=0.0, log_pnb=NEG_INF)}
+    # char emission frame per prefix node: prefix -> (best_ext_score, t);
+    # shared across beams like the native decoder's trie-node time
+    node_time: dict[tuple, tuple] = {}
+
+    def offer_node_time(prefix: tuple, score: float, t: int):
+        cur = node_time.get(prefix)
+        if cur is None or score > cur[0]:
+            node_time[prefix] = (score, t)
 
     for t in range(t_max):
         lp = log_probs[t]
@@ -155,12 +154,10 @@ def prefix_beam_search(
                 if c == blank:
                     nb = get(prefix)
                     nb.log_pb = _logaddexp(nb.log_pb, total + p)
-                    nb.offer_times(total + p, beam.times)
                 elif c == last:
                     # repeat without blank: merges into the same prefix
                     nb = get(prefix)
                     nb.log_pnb = _logaddexp(nb.log_pnb, beam.log_pnb + p)
-                    nb.offer_times(beam.log_pnb + p, beam.times)
                     # repeat after blank: extends the prefix
                     ext = prefix + (c,)
                     ne = get(ext)
@@ -168,7 +165,7 @@ def prefix_beam_search(
                     if scorer is not None and c == scorer.space:
                         score += scorer.score_boundary(prefix)
                     ne.log_pnb = _logaddexp(ne.log_pnb, score)
-                    ne.offer_times(score, beam.times + (t,))
+                    offer_node_time(ext, score, t)
                 else:
                     ext = prefix + (c,)
                     ne = get(ext)
@@ -176,7 +173,7 @@ def prefix_beam_search(
                     if scorer is not None and c == scorer.space:
                         score += scorer.score_boundary(prefix)
                     ne.log_pnb = _logaddexp(ne.log_pnb, score)
-                    ne.offer_times(score, beam.times + (t,))
+                    offer_node_time(ext, score, t)
 
         # prune to beam width by total path probability
         pruned = sorted(next_beams.items(), key=lambda kv: -kv[1].total())
@@ -189,7 +186,8 @@ def prefix_beam_search(
         score = beam.total()
         if scorer is not None and prefix and prefix[-1] != scorer.space:
             score += scorer.score_boundary(prefix)
-        results.append((prefix, score, beam.times))
+        times = tuple(node_time[prefix[: k + 1]][1] for k in range(len(prefix)))
+        results.append((prefix, score, times))
     results.sort(key=lambda r: -r[1])
     return results
 
