@@ -222,7 +222,12 @@ class BeamCTCDecoder(Decoder):
         self._native = None
 
         if lm_path is not None:
-            lm = lm_path if isinstance(lm_path, (NgramLM, PackedNgramLM)) else load_lm(lm_path)
+            from .kenlm_reader import KenLMProbingModel
+
+            if isinstance(lm_path, (NgramLM, PackedNgramLM, KenLMProbingModel)):
+                lm = lm_path
+            else:
+                lm = load_lm(lm_path)
             self.scorer = _LMScorer(lm, labels, alpha, beta, self.space_index)
         else:
             self.scorer = None

@@ -69,6 +69,23 @@ def _load_lib():
             ctypes.c_int64,
             ctypes.c_int,
         ]
+        lib.ctcbeam_set_lm_kenlm_begin.restype = None
+        lib.ctcbeam_set_lm_kenlm_begin.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+        ]
+        lib.ctcbeam_set_lm_kenlm_table.restype = None
+        lib.ctcbeam_set_lm_kenlm_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p,  # backoffs: float* or NULL for the longest order
+            ctypes.c_int64,
+        ]
         lib.ctcbeam_decode_batch.restype = ctypes.c_int
         lib.ctcbeam_decode_batch.argtypes = [
             ctypes.c_void_p,
@@ -132,7 +149,11 @@ class NativeBeamDecoder:
             cutoff_top_n, cutoff_prob, alpha, beta, num_threads, label_bytes,
         )
         self._lm_buffers = None
-        if lm is not None:
+        from .kenlm_reader import KenLMProbingModel
+
+        if isinstance(lm, KenLMProbingModel):
+            self._set_kenlm(lm)
+        elif lm is not None:
             packed = lm if isinstance(lm, PackedNgramLM) else PackedNgramLM(lm)
             vk, vi = _vocab_table(packed.vocab)
             # hold references so the C++ copies from live memory
@@ -145,6 +166,36 @@ class NativeBeamDecoder:
                 packed.size,
                 vk, vi, vk.shape[0], packed.order,
             )
+
+    def _set_kenlm(self, model) -> None:
+        """Hand the KenLM probing tables (already natural-log) to C++."""
+        lib = self._lib
+        unigram = np.ascontiguousarray(model._unigram, dtype=np.float32)
+        vkeys, vids = model._vocab_hash
+        vkeys = np.ascontiguousarray(vkeys, dtype=np.uint64)
+        vids = np.ascontiguousarray(vids, dtype=np.uint32)
+        lib.ctcbeam_set_lm_kenlm_begin(
+            self._handle, model.order, unigram.reshape(-1),
+            unigram.shape[0], vkeys, vids, vkeys.shape[0],
+        )
+        keep = [unigram, vkeys, vids]
+        for i, table in enumerate(model._middles):
+            keys = np.ascontiguousarray(table.keys, dtype=np.uint64)
+            probs = np.ascontiguousarray(table.probs, dtype=np.float32)
+            backs = np.ascontiguousarray(table.backoffs, dtype=np.float32)
+            lib.ctcbeam_set_lm_kenlm_table(
+                self._handle, i + 2, keys, probs,
+                backs.ctypes.data_as(ctypes.c_void_p), keys.shape[0],
+            )
+            keep += [keys, probs, backs]
+        lg = model._longest
+        keys = np.ascontiguousarray(lg.keys, dtype=np.uint64)
+        probs = np.ascontiguousarray(lg.probs, dtype=np.float32)
+        lib.ctcbeam_set_lm_kenlm_table(
+            self._handle, model.order, keys, probs, None, keys.shape[0]
+        )
+        keep += [keys, probs]
+        self._lm_buffers = tuple(keep)
 
     def __del__(self):
         try:

@@ -126,6 +126,121 @@ struct PackedLM {
 };
 
 // ---------------------------------------------------------------------------
+// KenLM probing-format LM (tables handed over by decode/kenlm_reader.py)
+// ---------------------------------------------------------------------------
+
+constexpr uint64_t kCombineA = 8978948897894561157ull;
+constexpr uint64_t kCombineB = 17894857484156487943ull;
+
+inline uint64_t KenlmCombine(uint64_t h, int32_t word_id) {
+  return (h * kCombineA) ^ (static_cast<uint64_t>(1 + word_id) * kCombineB);
+}
+
+// MurmurHash64A, seed 0 — kenlm's util::MurmurHashNative vocabulary hash.
+inline uint64_t MurmurHash64A(const void* key, size_t len) {
+  const uint64_t m = 0xc6a4a7935bd1e995ull;
+  const int r = 47;
+  uint64_t h = 0 ^ (len * m);
+  const uint8_t* data = static_cast<const uint8_t*>(key);
+  const uint8_t* end = data + (len & ~size_t(7));
+  while (data != end) {
+    uint64_t k;
+    std::memcpy(&k, data, 8);
+    data += 8;
+    k *= m;
+    k ^= k >> r;
+    k *= m;
+    h ^= k;
+    h *= m;
+  }
+  size_t tail = len & 7;
+  if (tail) {
+    uint64_t k = 0;
+    std::memcpy(&k, data, tail);
+    h ^= k;
+    h *= m;
+  }
+  h ^= h >> r;
+  h *= m;
+  h ^= h >> r;
+  return h;
+}
+
+struct KenLMTables {
+  int order = 0;
+  // unigram: (n_uni, 2) natural-log (prob, backoff), indexed by word id
+  std::vector<float> unigram;
+  int64_t n_uni = 0;
+  // probing tables for orders 2..N (index [n-2]); longest has no backoffs
+  std::vector<std::vector<uint64_t>> keys;
+  std::vector<std::vector<float>> probs;
+  std::vector<std::vector<float>> backoffs;
+  // vocab: murmur(word) -> id, open addressing (key 0 empty)
+  std::vector<uint64_t> vocab_keys;
+  std::vector<uint32_t> vocab_ids;
+
+  int32_t WordId(const std::string& w) const {
+    if (w == "<unk>" || w == "<UNK>") return 0;
+    if (vocab_keys.empty()) return -1;
+    uint64_t key = MurmurHash64A(w.data(), w.size());
+    size_t size = vocab_keys.size();
+    size_t i = key % size;
+    while (true) {
+      uint64_t k = vocab_keys[i];
+      if (k == 0) return -1;
+      if (k == key) return static_cast<int32_t>(vocab_ids[i]);
+      i = (i + 1) % size;
+    }
+  }
+
+  bool Lookup(int n, uint64_t key, float* prob, float* backoff) const {
+    const auto& ks = keys[n - 2];
+    if (ks.empty()) return false;
+    size_t size = ks.size();
+    size_t i = key % size;
+    while (true) {
+      uint64_t k = ks[i];
+      if (k == 0) return false;
+      if (k == key) {
+        *prob = probs[n - 2][i];
+        *backoff = backoffs[n - 2].empty() ? 0.0f : backoffs[n - 2][i];
+        return true;
+      }
+      i = (i + 1) % size;
+    }
+  }
+
+  // ln p(word | context); context oldest-first, already truncated by caller.
+  double ScoreIds(const int32_t* context, int ctx_len, int32_t word) const {
+    double prob = unigram[2 * word];
+    int matched = 1;
+    uint64_t h = static_cast<uint64_t>(word);
+    for (int i = 0; i < ctx_len; ++i) {
+      h = KenlmCombine(h, context[ctx_len - 1 - i]);  // newest first
+      float p, b;
+      if (!Lookup(i + 2, h, &p, &b)) break;
+      prob = p;
+      matched = i + 2;
+    }
+    double score = prob;
+    for (int k = matched - 1; k < ctx_len; ++k) {
+      if (k == 0) {
+        score += unigram[2 * context[ctx_len - 1] + 1];
+      } else {
+        // context suffix of length k+1: chain from its newest word back
+        uint64_t ch = static_cast<uint64_t>(context[ctx_len - 1]);
+        for (int j = 1; j <= k; ++j) {
+          ch = KenlmCombine(ch, context[ctx_len - 1 - j]);
+        }
+        float p, b;
+        if (Lookup(k + 1, ch, &p, &b)) score += b;
+      }
+    }
+    return score;
+  }
+};
+
+// ---------------------------------------------------------------------------
 // Prefix trie beams
 // ---------------------------------------------------------------------------
 
@@ -157,6 +272,8 @@ struct Decoder {
   int num_threads;
   PackedLM lm;
   bool has_lm = false;
+  KenLMTables kenlm;
+  bool has_kenlm = false;
   // label id -> utf-8 string for building word strings
   std::vector<std::string> label_strs;
 };
@@ -205,6 +322,26 @@ struct LMScorer {
     double score;
     if (cur.empty()) {
       score = 0.0;  // double space
+    } else if (dec->has_kenlm) {
+      int32_t wid = dec->kenlm.WordId(cur);
+      if (wid <= 0) {  // miss or <unk>: OOV semantics
+        score = dec->alpha * kOovScore + dec->beta;
+      } else {
+        std::vector<int32_t> ctx;
+        int need = dec->kenlm.order - 1;
+        for (auto w = words.rbegin(); w != words.rend() && need > 0; ++w) {
+          int32_t id = dec->kenlm.WordId(*w);
+          if (id >= 0) {
+            ctx.push_back(id);
+            --need;
+          }
+        }
+        std::reverse(ctx.begin(), ctx.end());
+        score = dec->alpha *
+                    dec->kenlm.ScoreIds(ctx.data(),
+                                        static_cast<int>(ctx.size()), wid) +
+                dec->beta;
+      }
     } else {
       int32_t wid = dec->lm.WordId(cur);
       if (wid < 0) {
@@ -424,6 +561,42 @@ void ctcbeam_set_lm(void* handle, const uint64_t* keys, const float* probs,
   dec->lm.vocab_ids.assign(vocab_ids, vocab_ids + vocab_size);
   dec->lm.order = order;
   dec->has_lm = true;
+}
+
+// Install a KenLM probing-format LM (natural-log tables from
+// decode/kenlm_reader.py). Call _begin once, then _table for each order
+// 2..N (backoffs = nullptr for the longest order).
+void ctcbeam_set_lm_kenlm_begin(void* handle, int order, const float* unigram,
+                                int64_t n_uni, const uint64_t* vocab_keys,
+                                const uint32_t* vocab_ids,
+                                int64_t vocab_buckets) {
+  auto* dec = static_cast<Decoder*>(handle);
+  dec->kenlm = KenLMTables();
+  dec->kenlm.order = order;
+  dec->kenlm.unigram.assign(unigram, unigram + 2 * n_uni);
+  dec->kenlm.n_uni = n_uni;
+  dec->kenlm.vocab_keys.assign(vocab_keys, vocab_keys + vocab_buckets);
+  dec->kenlm.vocab_ids.assign(vocab_ids, vocab_ids + vocab_buckets);
+  dec->kenlm.keys.resize(order - 1);
+  dec->kenlm.probs.resize(order - 1);
+  dec->kenlm.backoffs.resize(order - 1);
+  dec->has_kenlm = true;
+  dec->has_lm = true;  // enables boundary scoring in the search loop
+}
+
+void ctcbeam_set_lm_kenlm_table(void* handle, int order_n,
+                                const uint64_t* keys, const float* probs,
+                                const float* backoffs, int64_t buckets) {
+  auto* dec = static_cast<Decoder*>(handle);
+  int idx = order_n - 2;
+  if (idx < 0 || idx >= static_cast<int>(dec->kenlm.keys.size())) return;
+  dec->kenlm.keys[idx].assign(keys, keys + buckets);
+  dec->kenlm.probs[idx].assign(probs, probs + buckets);
+  if (backoffs != nullptr) {
+    dec->kenlm.backoffs[idx].assign(backoffs, backoffs + buckets);
+  } else {
+    dec->kenlm.backoffs[idx].clear();
+  }
 }
 
 // Decode a batch. probs: (b, t_max, c) row-major; lengths: per-row frames.
