@@ -54,9 +54,20 @@ class DanSpeechRecognizer:
         beta: float = 0.2,
         with_gpu: bool = False,  # accepted for API parity; device is managed by JAX
         beam_width: int = 64,
+        compute_dtype: str = "auto",
     ):
         devices = jax.devices()
         print(f"Using device: {devices[0].platform}:{devices[0]}")
+        # Matmul precision for inference: bfloat16 runs the MXU at full rate
+        # with float32 accumulation and gates (ops/rnn.py); "float32" gives
+        # bit-level parity with the reference CPU/CUDA stack. "auto" =
+        # bfloat16 on TPU backends, float32 elsewhere.
+        if compute_dtype == "auto":
+            compute_dtype = (
+                "bfloat16" if devices[0].platform in ("tpu", "axon") else "float32"
+            )
+        self.compute_dtype = compute_dtype
+        self._compute_params = None
 
         self.model = None
         self.model_name = None
@@ -109,6 +120,10 @@ class DanSpeechRecognizer:
         self.audio_config = model.audio_conf
         self.audio_parser = SpectrogramAudioParser(self.audio_config)
         self.labels = model.labels
+        if self.compute_dtype == "bfloat16":
+            self._compute_params = ds.cast_matmul_weights(model.params)
+        else:
+            self._compute_params = model.params
         self.update_decoder(labels=self.labels)
         self._forward_fn = None
         self._stream_fns = {}
@@ -210,7 +225,7 @@ class DanSpeechRecognizer:
         for i, r in enumerate(recordings):
             batch[i, : len(r)] = r
         probs, out_lens = self._forward_jit()(
-            self.model.params, jnp.asarray(batch), jnp.asarray(lengths)
+            self._compute_params, jnp.asarray(batch), jnp.asarray(lengths)
         )
         return np.asarray(probs), np.asarray(out_lens)
 

@@ -140,6 +140,43 @@ def num_params(params: Params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
 
 
+def cast_matmul_weights(params: Params, dtype=jnp.bfloat16) -> Params:
+    """Cast the large matmul weights (RNN w_ih/w_hh, conv kernels, FC) to
+    ``dtype`` for MXU-rate inference; biases and BatchNorm statistics stay
+    float32 (the RNN scan accumulates in float32 regardless, ops/rnn.py).
+
+    The flagship's recurrent weights are the HBM-bandwidth hot spot: 9
+    layers x 2 directions x (1200, 3600) is 311 MB in f32 streamed every
+    scan step unless resident in VMEM — bf16 halves both the traffic and
+    the residency footprint.
+    """
+
+    def cast_rnn(w):
+        if w is None:
+            return None
+        return type(w)(
+            w_ih=w.w_ih.astype(dtype),
+            w_hh=w.w_hh.astype(dtype),
+            b_ih=w.b_ih,
+            b_hh=w.b_hh,
+        )
+
+    out: Params = dict(params)
+    out["conv"] = [
+        c._replace(weight=c.weight.astype(dtype)) for c in params["conv"]
+    ]
+    out["rnns"] = [
+        {
+            "bn": e["bn"],
+            "fwd": cast_rnn(e["fwd"]),
+            "bwd": cast_rnn(e["bwd"]),
+        }
+        for e in params["rnns"]
+    ]
+    out["fc"] = params["fc"]._replace(weight=params["fc"].weight.astype(dtype))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -187,7 +224,10 @@ def head(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     """BN -> Linear(num_classes, no bias) on (T, B, H) -> (T, B, C)."""
     scale, shift = params["fc_bn"].scale_shift()
     x = x * scale + shift
-    return jnp.dot(x, params["fc"].weight.T, preferred_element_type=jnp.float32)
+    w = params["fc"].weight
+    return jnp.dot(
+        x.astype(w.dtype), w.T, preferred_element_type=jnp.float32
+    )
 
 
 def forward(

@@ -38,16 +38,21 @@ def conv2d(
     stride: tuple[int, int],
     padding: tuple[int, int],
 ) -> jnp.ndarray:
-    """torch.nn.Conv2d-equivalent on NCHW input."""
+    """torch.nn.Conv2d-equivalent on NCHW input.
+
+    Input follows the kernel dtype (bf16 kernels -> bf16 MXU conv) with
+    float32 accumulation/output.
+    """
     out = jax.lax.conv_general_dilated(
-        x,
+        x.astype(weight.dtype),
         weight,
         window_strides=stride,
         padding=[(padding[0], padding[0]), (padding[1], padding[1])],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
     )
     if bias is not None:
-        out = out + bias[None, :, None, None]
+        out = out + bias[None, :, None, None].astype(jnp.float32)
     return out
 
 
@@ -75,7 +80,7 @@ def fold_bn_into_conv(p: ConvParams, eps: float = 1e-5) -> tuple[jnp.ndarray, jn
     w' = w * gamma/sqrt(var+eps) per output channel.
     """
     scale = p.bn_gamma / jnp.sqrt(p.bn_var + eps)
-    w = p.weight * scale[:, None, None, None]
+    w = p.weight * scale[:, None, None, None].astype(p.weight.dtype)
     b = (p.bias - p.bn_mean) * scale + p.bn_beta
     return w, b
 

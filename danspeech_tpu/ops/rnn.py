@@ -74,6 +74,7 @@ def gru_layer(
     bwd: GRUWeights | None = None,
     h0: jnp.ndarray | None = None,
     sum_directions: bool = True,
+    impl: str = "auto",
 ):
     """Run one (optionally bidirectional) GRU layer over (T, B, I).
 
@@ -83,7 +84,21 @@ def gru_layer(
                 ``sum_directions=False``;
       h_last  — (D, B, H) final hidden state per direction, matching packed
                 semantics (the last *valid* step of each row).
+
+    ``impl`` selects the recurrence engine: "pallas" (Mosaic grid kernel,
+    ops/pallas_gru.py), "xla" (lax.scan), or "auto" (pallas on TPU
+    backends, xla elsewhere).
     """
+    if impl == "auto":
+        import os
+
+        impl = os.environ.get("DANSPEECH_TPU_GRU_IMPL", "auto")
+    if impl == "auto":
+        from .pallas_gru import backend_supports_mosaic
+
+        impl = "pallas" if backend_supports_mosaic() else "xla"
+    if impl == "pallas":
+        return _gru_layer_pallas(x, lengths, fwd, bwd, h0, sum_directions)
     t_max, batch, _ = x.shape
     hidden = fwd.w_hh.shape[0]
     directions = [fwd] if bwd is None else [fwd, bwd]
@@ -100,24 +115,39 @@ def gru_layer(
     b_ih = jnp.stack([d.b_ih for d in directions])  # (D, 3H)
     b_hh = jnp.stack([d.b_hh for d in directions])
 
+    # Matmul operands follow the weights' dtype (bfloat16 weights -> bf16 MXU
+    # inputs at 2x rate and half the HBM weight traffic); gates, biases and
+    # the carried hidden state stay float32 via preferred_element_type.
+    mm_dtype = fwd.w_ih.dtype
+
     # Big MXU matmul up front: all timesteps, all directions.
     gx = (
         jnp.einsum(
-            "tdbi,dik->tdbk", x_stack, w_ih, preferred_element_type=jnp.float32
+            "tdbi,dik->tdbk",
+            x_stack.astype(mm_dtype),
+            w_ih,
+            preferred_element_type=jnp.float32,
         )
-        + b_ih[None, :, None, :]
+        + b_ih[None, :, None, :].astype(jnp.float32)
     )
 
     if h0 is None:
-        h0 = jnp.zeros((ndir, batch, hidden), dtype=x.dtype)
+        h0 = jnp.zeros((ndir, batch, hidden), dtype=jnp.float32)
+    else:
+        h0 = h0.astype(jnp.float32)
 
-    mask = (jnp.arange(t_max)[:, None] < lengths[None, :]).astype(x.dtype)  # (T, B)
+    mask = (jnp.arange(t_max)[:, None] < lengths[None, :]).astype(jnp.float32)
 
     def step(h, inputs):
         gx_t, m_t = inputs  # (D, B, 3H), (B,)
         gh = (
-            jnp.einsum("dbh,dhk->dbk", h, w_hh, preferred_element_type=jnp.float32)
-            + b_hh[:, None, :]
+            jnp.einsum(
+                "dbh,dhk->dbk",
+                h.astype(mm_dtype),
+                w_hh,
+                preferred_element_type=jnp.float32,
+            )
+            + b_hh[:, None, :].astype(jnp.float32)
         )
         gx_r, gx_z, gx_n = jnp.split(gx_t, 3, axis=-1)
         gh_r, gh_z, gh_n = jnp.split(gh, 3, axis=-1)
@@ -139,6 +169,56 @@ def gru_layer(
     else:
         merged = out[:, 0]
     return merged, h_last
+
+
+def _gru_layer_pallas(
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    fwd: GRUWeights,
+    bwd: GRUWeights | None,
+    h0: jnp.ndarray | None,
+    sum_directions: bool,
+):
+    """Pallas-kernel GRU layer: per-direction input projections as one big
+    XLA einsum each, recurrence in the Mosaic grid kernel. Matches the
+    lax.scan path bit-for-bit in masking/merge semantics (tests
+    tests/test_pallas_gru.py pin the two against each other)."""
+    from .pallas_gru import gru_scan
+
+    t_max, batch, _ = x.shape
+    hidden = fwd.w_hh.shape[0]
+    mm_dtype = fwd.w_ih.dtype
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+
+    if h0 is None:
+        h0_f = h0_b = jnp.zeros((batch, hidden), jnp.float32)
+    else:
+        h0_f = h0[0].astype(jnp.float32)
+        h0_b = h0[-1].astype(jnp.float32)
+
+    def run(weights: GRUWeights, h_init, reverse: bool):
+        gx = (
+            jnp.einsum(
+                "tbi,ik->tbk",
+                x.astype(mm_dtype),
+                weights.w_ih,
+                preferred_element_type=jnp.float32,
+            )
+            + weights.b_ih.astype(jnp.float32)
+        )
+        return gru_scan(
+            gx, lengths, weights.w_hh, weights.b_hh, h_init,
+            reverse=reverse, interpret=interpret,
+        )
+
+    out_f, hl_f = run(fwd, h0_f, reverse=False)
+    if bwd is None:
+        return out_f, hl_f[None]
+    out_b, hl_b = run(bwd, h0_b, reverse=True)
+    merged = (
+        out_f + out_b if sum_directions else jnp.concatenate([out_f, out_b], -1)
+    )
+    return merged, jnp.stack([hl_f, hl_b])
 
 
 def gru_layer_streaming(

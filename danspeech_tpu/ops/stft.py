@@ -41,6 +41,25 @@ def num_frames(n_samples: int, n_fft: int, hop: int, center: bool) -> int:
     return 1 + (n_samples - n_fft) // hop
 
 
+def _overlap_frames(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """(n,) -> (1 + (n - n_fft)//hop, n_fft) overlapping frames.
+
+    Fast path when ``n_fft`` is a multiple of ``hop`` (320/160 here): the
+    signal reshapes to hop-sized rows and each frame is a concatenation of
+    ``n_fft//hop`` consecutive rows — pure reshapes/slices, no gather, which
+    matters on TPU where a (T, 320) gather dominates the whole STFT.
+    """
+    n = y.shape[0]
+    t = 1 + (n - n_fft) // hop
+    if n_fft % hop == 0:
+        k = n_fft // hop
+        rows = y[: (n // hop) * hop].reshape(-1, hop)
+        chunks = [rows[i : i + t] for i in range(k)]
+        return jnp.concatenate(chunks, axis=1)
+    idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    return y[idx]
+
+
 def frame_signal(y: jnp.ndarray, n_fft: int, hop: int, center: bool) -> jnp.ndarray:
     """Slice a 1-D signal into overlapping frames, shape (T, n_fft).
 
@@ -50,10 +69,7 @@ def frame_signal(y: jnp.ndarray, n_fft: int, hop: int, center: bool) -> jnp.ndar
     """
     if center:
         y = jnp.pad(y, n_fft // 2, mode="reflect")
-    n = y.shape[0]
-    t = 1 + (n - n_fft) // hop
-    idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
-    return y[idx]
+    return _overlap_frames(y, n_fft, hop)
 
 
 def magnitude_stft(
@@ -152,8 +168,7 @@ def batched_log_spectrogram(
         padded = jax.lax.dynamic_update_slice(padded, tail[::-1], (half + length,))
         # left edge: rows are valid from 0, so plain reflect is correct
         padded = padded.at[:half].set(y[1 : half + 1][::-1])
-        idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
-        frames = padded[idx] * window[None, :]
+        frames = _overlap_frames(padded, n_fft, hop) * window[None, :]
         if use_fft:
             spec = jnp.abs(jnp.fft.rfft(frames, axis=-1))
         else:
