@@ -1,0 +1,343 @@
+"""On-device (jit) vectorized CTC prefix beam search.
+
+TPU-native counterpart of the host beam decoders (decode/beam.py Python
+oracle and native/ctcbeam C++): the whole batch decodes in one XLA program
+— no per-utterance host loop, no device->host probability transfer — so it
+composes with pjit data parallelism (batch rows sharded over the mesh) and
+keeps the TPU busy between acoustic batches.
+
+Algorithm (frame-synchronous prefix beam search, reference ctcdecode
+semantics, decoder.py:96-144):
+
+- beam state per (batch, beam): log_pb / log_pnb, last char, and a pair of
+  32-bit rolling prefix hashes (TPU has no native 64-bit ints; two
+  independent multiplicative hashes make collisions vanishingly rare);
+- each step expands W beams x C classes into structured candidates
+  (blank / repeat-merge -> same prefix; extension -> child prefix),
+  sorts candidates by hash pair (lexicographic two-key sort), merges
+  duplicates with a segmented log-sum-exp (associative scan with
+  boundary resets), and keeps the top W by total probability;
+- per-step parent/char bookkeeping is stored (T, B, W) and the winning
+  label sequences + emission times are reconstructed by backtracking.
+
+LM fusion stays on the host C++ path (irregular trie/hash lookups,
+SURVEY §2.2 N2/N3); this decoder covers the lm=None beam configuration
+and is the building block the distributed beam pruning rides on.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = jnp.float32(-1e30)
+
+# multiplicative rolling-hash constants (odd, well-mixed 32-bit)
+_H1_MUL = np.uint32(0x9E3779B1)
+_H2_MUL = np.uint32(0x85EBCA77)
+
+
+def _logaddexp(a, b):
+    mx = jnp.maximum(a, b)
+    mn = jnp.minimum(a, b)
+    safe = jnp.where(mx > NEG_INF / 2, mx + jnp.log1p(jnp.exp(mn - mx)), NEG_INF)
+    return safe
+
+
+def _segmented_logsumexp(values, starts):
+    """Log-sum-exp over runs of a sorted axis; result lands on each run's
+    first element, later elements get NEG_INF.
+
+    values: (..., N) f32; starts: (..., N) bool marking run starts.
+
+    Implemented as a right-to-left segmented scan: in reversed order the
+    reset flags are the runs' *ends* (= the element before the next run
+    start), so the original run-start element — scanned last within its
+    run — accumulates the full run.
+    """
+    ends = jnp.concatenate(
+        [starts[..., 1:], jnp.ones_like(starts[..., :1])], axis=-1
+    )
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        v = jnp.where(bf, bv, _logaddexp(av, bv))
+        return v, af | bf
+
+    rev = lambda x: jnp.flip(x, axis=-1)
+    v, _ = jax.lax.associative_scan(
+        combine, (rev(values), rev(ends)), axis=-1
+    )
+    acc = rev(v)
+    return jnp.where(starts, acc, NEG_INF)
+
+
+def expand_candidates(pb, pnb, last, h1, h2, lp_t, blank, parent_offset=0):
+    """Expand W beams x C classes into flat candidate arrays.
+
+    Returns (h1, h2, pb, pnb, last, parent, char), each (B, W*(C+1)).
+    ``parent_offset`` shifts the recorded parent indices — the beam-sharded
+    decoder passes each shard's global offset so backtrack pointers stay
+    global after the cross-chip merge.
+    """
+    batch, w = pb.shape
+    num_classes = lp_t.shape[-1]
+    total = _logaddexp(pb, pnb)  # (B, W)
+
+    # 1) stay on the same prefix: blank from anywhere + repeat of the last
+    #    char without an intervening blank.
+    lp_blank = lp_t[:, blank][:, None]  # (B, 1)
+    lp_last = jnp.take_along_axis(
+        lp_t, jnp.clip(last, 0, num_classes - 1), axis=-1
+    )  # (B, W)
+    stay_pb = total + lp_blank
+    stay_pnb = jnp.where(last >= 0, pnb + lp_last, NEG_INF)
+
+    # 2) extend with char c: from total, except c == last extends only
+    #    from pb (the repeat-after-blank path).
+    base = total[:, :, None] + lp_t[:, None, :]  # (B, W, C)
+    rep = pb[:, :, None] + lp_t[:, None, :]
+    is_last = jnp.arange(num_classes)[None, None, :] == last[:, :, None]
+    ext_pnb = jnp.where(is_last, rep, base)  # (B, W, C)
+    ext_pnb = ext_pnb.at[:, :, blank].set(NEG_INF)
+
+    # candidate keys
+    cls = jnp.arange(num_classes, dtype=jnp.uint32)
+    eh1 = h1[:, :, None] * _H1_MUL + (cls[None, None, :] + 1)
+    eh2 = h2[:, :, None] * _H2_MUL + (cls[None, None, :] + 1)
+    ext_last = jnp.broadcast_to(
+        jnp.arange(num_classes, dtype=jnp.int32)[None, None, :],
+        (batch, w, num_classes),
+    )
+    local_ids = parent_offset + jnp.arange(w, dtype=jnp.int32)
+    parent = jnp.broadcast_to(
+        local_ids[None, :, None], (batch, w, num_classes)
+    )
+
+    # flatten: [stay candidates (W)] + [extend candidates (W*C)]
+    cand_h1 = jnp.concatenate([h1, eh1.reshape(batch, -1)], axis=1)
+    cand_h2 = jnp.concatenate([h2, eh2.reshape(batch, -1)], axis=1)
+    cand_pb = jnp.concatenate(
+        [stay_pb, jnp.full((batch, w * num_classes), NEG_INF)], axis=1
+    )
+    cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(batch, -1)], axis=1)
+    cand_last = jnp.concatenate([last, ext_last.reshape(batch, -1)], axis=1)
+    cand_parent = jnp.concatenate(
+        [jnp.broadcast_to(local_ids[None, :], (batch, w)),
+         parent.reshape(batch, -1)],
+        axis=1,
+    )
+    cand_char = jnp.concatenate(
+        [jnp.full((batch, w), -1, jnp.int32), ext_last.reshape(batch, -1)],
+        axis=1,
+    )
+
+    # dead candidates must not collide with real hash runs: give them the
+    # max h1 and unique h2 values so they sort to the tail unmerged.
+    n_cand = cand_h1.shape[1]
+    dead = _logaddexp(cand_pb, cand_pnb) <= NEG_INF / 2
+    po = jnp.asarray(parent_offset).astype(jnp.uint32)
+    cand_h1 = jnp.where(dead, jnp.uint32(0xFFFFFFFF), cand_h1)
+    cand_h2 = jnp.where(
+        dead,
+        po * (1 + jnp.arange(n_cand, dtype=jnp.uint32))[None, :]
+        + jnp.arange(n_cand, dtype=jnp.uint32)[None, :],
+        cand_h2,
+    )
+    return cand_h1, cand_h2, cand_pb, cand_pnb, cand_last, cand_parent, cand_char
+
+
+def merge_top_w(cands, w):
+    """Sort candidates by hash pair, merge duplicate prefixes with a
+    segmented log-sum-exp, keep the top ``w`` by total probability.
+
+    Returns (pb, pnb, last, h1, h2, parent, char), each (B, w).
+    """
+    cand_h1, cand_h2, cand_pb, cand_pnb, cand_last, cand_parent, cand_char = cands
+    batch = cand_h1.shape[0]
+    sh1, sh2, s_pb, s_pnb, s_last, s_parent, s_char = jax.lax.sort(
+        (cand_h1, cand_h2, cand_pb, cand_pnb, cand_last, cand_parent, cand_char),
+        dimension=1,
+        num_keys=2,
+    )
+    first = jnp.concatenate(
+        [
+            jnp.ones((batch, 1), bool),
+            (sh1[:, 1:] != sh1[:, :-1]) | (sh2[:, 1:] != sh2[:, :-1]),
+        ],
+        axis=1,
+    )
+    m_pb = _segmented_logsumexp(s_pb, first)
+    m_pnb = _segmented_logsumexp(s_pnb, first)
+    m_total = _logaddexp(m_pb, m_pnb)
+
+    _, top_idx = jax.lax.top_k(m_total, w)  # (B, w)
+    take = lambda arr: jnp.take_along_axis(arr, top_idx, axis=1)
+    return (
+        take(m_pb), take(m_pnb), take(s_last), take(sh1), take(sh2),
+        take(s_parent), take(s_char),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("beam_width", "blank", "max_symbols")
+)
+def ctc_beam_search_device(
+    probs: jnp.ndarray,  # (B, T, C) softmax probabilities
+    lengths: jnp.ndarray,  # (B,) int32 valid frame counts
+    beam_width: int = 64,
+    blank: int = 0,
+    max_symbols: int | None = None,
+):
+    """Batched beam search. Returns (labels, times, lens, scores):
+
+    labels — (B, W, T) int32, top-W label sequences (padded with -1)
+    times  — (B, W, T) int32 frame index of each emitted char
+    lens   — (B, W) int32 sequence lengths
+    scores — (B, W) f32 total ln-probabilities, best first
+    """
+    batch, t_max, num_classes = probs.shape
+    w = beam_width
+    log_probs = jnp.log(jnp.clip(probs, 1e-30, None)).astype(jnp.float32)
+
+    # beam state
+    pb = jnp.full((batch, w), NEG_INF).at[:, 0].set(0.0)
+    pnb = jnp.full((batch, w), NEG_INF)
+    last = jnp.full((batch, w), -1, jnp.int32)
+    h1 = jnp.zeros((batch, w), jnp.uint32)
+    h2 = jnp.zeros((batch, w), jnp.uint32)
+
+    n_cand = w * (num_classes + 1)
+
+    def step(state, inputs):
+        pb, pnb, last, h1, h2 = state
+        lp_t, t = inputs  # (B, C), scalar
+        cands = expand_candidates(
+            pb, pnb, last, h1, h2, lp_t, blank, parent_offset=0
+        )
+        (n_pb, n_pnb, n_last, n_h1, n_h2, bk_parent, bk_char) = merge_top_w(
+            cands, w
+        )
+
+        # freeze state for rows past their length
+        active = (t < lengths)[:, None]
+        keep = lambda new, old: jnp.where(active, new, old)
+        new_state = (
+            keep(n_pb, pb), keep(n_pnb, pnb), keep(n_last, last),
+            keep(n_h1, h1), keep(n_h2, h2),
+        )
+        # inactive rows: every beam keeps itself with no emission
+        bk_parent = jnp.where(
+            active, bk_parent, jnp.arange(w, dtype=jnp.int32)[None, :]
+        )
+        bk_char = jnp.where(active, bk_char, jnp.full((batch, w), -1, jnp.int32))
+        return new_state, (bk_parent, bk_char)
+
+    (pb, pnb, last, h1, h2), (parents, chars) = jax.lax.scan(
+        step,
+        (pb, pnb, last, h1, h2),
+        (jnp.transpose(log_probs, (1, 0, 2)), jnp.arange(t_max)),
+    )
+    return backtrack_beams(pb, pnb, parents, chars, t_max)
+
+
+@functools.partial(jax.jit, static_argnames=("t_max",))
+def backtrack_beams(pb, pnb, parents, chars, t_max):
+    """Score-sort the final beams and reconstruct label sequences + times
+    by walking the per-step (parent, char) pointers backwards.
+
+    parents/chars are (T, B, W); returns (labels, times, lens, scores).
+    """
+    batch, w = pb.shape
+    scores = _logaddexp(pb, pnb)  # (B, W)
+    order = jnp.argsort(-scores, axis=1)
+    scores = jnp.take_along_axis(scores, order, axis=1)
+
+    # ---- backtrack (device): walk parent pointers from the end --------
+    def backtrack(carry, inputs):
+        beam_idx, pos, labels, times = carry
+        par_t, chr_t, t = inputs  # (B, W), (B, W), scalar
+        ch = jnp.take_along_axis(chr_t, beam_idx, axis=1)  # (B, W)
+        emitted = ch >= 0
+        pos = pos - emitted.astype(jnp.int32)
+        # write ch at pos where emitted
+        labels = jax.vmap(
+            lambda lab, p, c, e: jax.vmap(
+                lambda lab_w, p_w, c_w, e_w: jnp.where(
+                    e_w, lab_w.at[p_w].set(c_w), lab_w
+                )
+            )(lab, p, c, e)
+        )(labels, pos, ch, emitted)
+        times = jax.vmap(
+            lambda tm, p, e: jax.vmap(
+                lambda tm_w, p_w, e_w: jnp.where(
+                    e_w, tm_w.at[p_w].set(t), tm_w
+                )
+            )(tm, p, e)
+        )(times, pos, emitted)
+        beam_idx = jnp.take_along_axis(par_t, beam_idx, axis=1)
+        return (beam_idx, pos, labels, times), None
+
+    # sequence lengths: count emissions along the winning path, so run the
+    # backtrack twice — once to count, once to place. Simpler: place from
+    # the end into position T-1..0, then roll left afterwards.
+    b_idx = jnp.broadcast_to(order, (batch, w)).astype(jnp.int32)
+    labels0 = jnp.full((batch, w, t_max), -1, jnp.int32)
+    times0 = jnp.zeros((batch, w, t_max), jnp.int32)
+    pos0 = jnp.full((batch, w), t_max, jnp.int32)
+    (_, pos_end, labels, times), _ = jax.lax.scan(
+        backtrack,
+        (b_idx, pos0, labels0, times0),
+        (parents[::-1], chars[::-1], jnp.arange(t_max)[::-1]),
+    )
+    lens = t_max - pos_end  # (B, W)
+    # shift each row's labels left by pos_end
+    shift = pos_end[:, :, None]
+    idx = (jnp.arange(t_max)[None, None, :] + shift) % t_max
+    labels = jnp.take_along_axis(labels, idx, axis=2)
+    times = jnp.take_along_axis(times, idx, axis=2)
+    labels = jnp.where(jnp.arange(t_max)[None, None, :] < lens[:, :, None], labels, -1)
+    return labels, times, lens, scores
+
+
+class DeviceBeamDecoder:
+    """Decoder-API wrapper over :func:`ctc_beam_search_device`.
+
+    Same (strings, offsets) contract as BeamCTCDecoder.decode for the
+    lm=None configuration, but batched on device.
+    """
+
+    def __init__(self, labels: str, beam_width: int = 64, blank_index: int = 0):
+        self.labels = labels
+        self.beam_width = beam_width
+        self.blank_index = blank_index
+
+    def decode(self, probs, sizes=None):
+        probs = jnp.asarray(probs)
+        batch, t_max, _ = probs.shape
+        sizes = (
+            jnp.asarray(sizes, jnp.int32)
+            if sizes is not None
+            else jnp.full((batch,), t_max, jnp.int32)
+        )
+        labels, times, lens, scores = ctc_beam_search_device(
+            probs, sizes, beam_width=self.beam_width, blank=self.blank_index
+        )
+        labels, times = np.asarray(labels), np.asarray(times)
+        lens, scores = np.asarray(lens), np.asarray(scores)
+        all_strings, all_offsets = [], []
+        for b in range(batch):
+            strings, offsets = [], []
+            for k in range(self.beam_width):
+                n = int(lens[b, k])
+                strings.append(
+                    "".join(self.labels[c] for c in labels[b, k, :n])
+                )
+                offsets.append(times[b, k, :n].astype(np.int32))
+            all_strings.append(strings)
+            all_offsets.append(offsets)
+        return all_strings, all_offsets

@@ -1,0 +1,139 @@
+"""Cross-chip beam-parallel CTC search (SURVEY §2.5 "beam-search parallel").
+
+Beams shard over the mesh's data axis: each chip expands only its W/n-chip
+slice of the beam front (the W x C candidate construction and local sort
+are the per-step cost), the candidate arrays are exchanged with
+``jax.lax.all_gather`` over ICI, and every chip runs the identical global
+merge + top-W prune — so the pruned beam state stays replicated and
+deterministic without a designated leader chip.
+
+This complements the data-parallel route (batch rows sharded, see
+parallel/batch.py): beam-parallel pays off when a single long utterance
+must decode with a very wide beam; DP pays off for throughput. Both ride
+the same expand/merge kernels in decode/device_beam.py.
+
+Runs on any mesh — validated on the CPU-simulated 8-device mesh in
+tests/test_dist_beam.py against the single-device decoder.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .device_beam import (
+    NEG_INF,
+    _logaddexp,
+    expand_candidates,
+    merge_top_w,
+)
+
+
+def _sharded_search(lp, lengths, beam_width, blank, n_shards, axis):
+    """shard_map body: lp is this chip's full (B, T, C) log-probs (replicated),
+    beams are logically sharded — each chip expands its slice."""
+    batch, t_max, _ = lp.shape
+    w = beam_width
+    w_local = w // n_shards
+    shard = jax.lax.axis_index(axis)
+    offset = shard * w_local
+
+    pb = jnp.full((batch, w), NEG_INF).at[:, 0].set(0.0)
+    pnb = jnp.full((batch, w), NEG_INF)
+    last = jnp.full((batch, w), -1, jnp.int32)
+    h1 = jnp.zeros((batch, w), jnp.uint32)
+    h2 = jnp.zeros((batch, w), jnp.uint32)
+
+    def step(state, inputs):
+        pb, pnb, last, h1, h2 = state
+        lp_t, t = inputs
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, offset, w_local, axis=1)
+        # expand ONLY this chip's beam slice; parents recorded globally
+        cands = expand_candidates(
+            sl(pb), sl(pnb), sl(last), sl(h1), sl(h2), lp_t, blank,
+            parent_offset=offset,
+        )
+        # exchange candidate slices over ICI and merge the global front
+        gathered = tuple(
+            jnp.concatenate(
+                jax.lax.all_gather(c, axis), axis=1
+            )
+            for c in cands
+        )
+        n_pb, n_pnb, n_last, n_h1, n_h2, bk_parent, bk_char = merge_top_w(
+            gathered, w
+        )
+        active = (t < lengths)[:, None]
+        keep = lambda new, old: jnp.where(active, new, old)
+        new_state = (
+            keep(n_pb, pb), keep(n_pnb, pnb), keep(n_last, last),
+            keep(n_h1, h1), keep(n_h2, h2),
+        )
+        bk_parent = jnp.where(
+            active, bk_parent, jnp.arange(w, dtype=jnp.int32)[None, :]
+        )
+        bk_char = jnp.where(
+            active, bk_char, jnp.full((batch, w), -1, jnp.int32)
+        )
+        return new_state, (bk_parent, bk_char)
+
+    (pb, pnb, last, h1, h2), (parents, chars) = jax.lax.scan(
+        step,
+        (pb, pnb, last, h1, h2),
+        (jnp.transpose(lp, (1, 0, 2)), jnp.arange(t_max)),
+    )
+    return pb, pnb, parents, chars
+
+
+def ctc_beam_search_beam_sharded(
+    probs: jnp.ndarray,  # (B, T, C) softmax probabilities (replicated)
+    lengths: jnp.ndarray,  # (B,)
+    mesh: Mesh,
+    axis: str = "data",
+    beam_width: int = 64,
+    blank: int = 0,
+):
+    """Beam-sharded search over ``mesh``'s ``axis``.
+
+    Returns (labels, times, lens, scores) exactly like
+    :func:`device_beam.ctc_beam_search_device` — and, modulo pruning ties,
+    the same values: the global merged front each step is identical to the
+    single-device front.
+    """
+    try:
+        from jax import shard_map
+
+        smap = functools.partial(shard_map, check_vma=False)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+        smap = functools.partial(shard_map, check_rep=False)
+
+    n_shards = mesh.shape[axis]
+    if beam_width % n_shards:
+        raise ValueError(
+            f"beam_width {beam_width} must divide over {n_shards} shards"
+        )
+    batch, t_max, _ = probs.shape
+    log_probs = jnp.log(jnp.clip(probs, 1e-30, None)).astype(jnp.float32)
+
+    body = functools.partial(
+        _sharded_search,
+        beam_width=beam_width,
+        blank=blank,
+        n_shards=n_shards,
+        axis=axis,
+    )
+    pb, pnb, parents, chars = smap(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P(), P(), P()),
+    )(log_probs, lengths.astype(jnp.int32))
+
+    from .device_beam import backtrack_beams
+
+    return backtrack_beams(pb, pnb, parents, chars, t_max)

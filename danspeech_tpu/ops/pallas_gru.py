@@ -34,48 +34,58 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _gru_step_kernel(
-    gx_ref,  # (1, B, 3H) float32 — x @ w_ih + b_ih at this timestep
+    gx_ref,  # (U, B, 3H) float32 — x @ w_ih + b_ih for U timesteps
     len_ref,  # (B, 1) int32 — sequence lengths
     whh_ref,  # (H, 3H) weights dtype
     bhh_ref,  # (1, 3H) float32
     h0_ref,  # (B, H) float32
-    out_ref,  # (1, B, H) float32
+    out_ref,  # (U, B, H) float32
     hlast_ref,  # (B, H) float32
     h_scr,  # (B, H) float32 VMEM scratch — the carried hidden state
     *,
     hidden: int,
     reverse: bool,
+    unroll: int,
 ):
     i = pl.program_id(0)
-    t_max = pl.num_programs(0)
-    t = (t_max - 1 - i) if reverse else i
+    n_blocks = pl.num_programs(0)
+    # element offset of this block in the (padded) time axis
+    block = (n_blocks - 1 - i) if reverse else i
+    base = block * unroll
 
     @pl.when(i == 0)
     def _():
         h_scr[:] = h0_ref[:]
 
     h = h_scr[:]
-    gh = (
-        jnp.dot(
-            h.astype(whh_ref.dtype), whh_ref[:],
-            preferred_element_type=jnp.float32,
+    lengths = len_ref[:]
+    for k in range(unroll):  # static unroll: U cells per grid step
+        kk = (unroll - 1 - k) if reverse else k
+        t = base + kk
+        gh = (
+            jnp.dot(
+                h.astype(whh_ref.dtype), whh_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + bhh_ref[:]
         )
-        + bhh_ref[:]
-    )
-    gx = gx_ref[0]
-    r = jax.nn.sigmoid(gx[:, :hidden] + gh[:, :hidden])
-    z = jax.nn.sigmoid(gx[:, hidden : 2 * hidden] + gh[:, hidden : 2 * hidden])
-    n = jnp.tanh(gx[:, 2 * hidden :] + r * gh[:, 2 * hidden :])
-    h_new = (1.0 - z) * n + z * h
+        gx = gx_ref[kk]
+        r = jax.nn.sigmoid(gx[:, :hidden] + gh[:, :hidden])
+        z = jax.nn.sigmoid(
+            gx[:, hidden : 2 * hidden] + gh[:, hidden : 2 * hidden]
+        )
+        n = jnp.tanh(gx[:, 2 * hidden :] + r * gh[:, 2 * hidden :])
+        h_new = (1.0 - z) * n + z * h
 
-    m = (len_ref[:] > t).astype(jnp.float32)  # (B, 1)
-    h_next = m * h_new + (1.0 - m) * h
-    h_scr[:] = h_next
-    out_ref[0] = h_new * m  # padded positions emit exact zeros
+        m = (lengths > t).astype(jnp.float32)  # (B, 1)
+        h = m * h_new + (1.0 - m) * h
+        out_ref[kk] = h_new * m  # padded positions emit exact zeros
 
-    @pl.when(i == t_max - 1)
+    h_scr[:] = h
+
+    @pl.when(i == n_blocks - 1)
     def _():
-        hlast_ref[:] = h_next
+        hlast_ref[:] = h
 
 
 def backend_supports_mosaic() -> bool:
@@ -87,7 +97,7 @@ def backend_supports_mosaic() -> bool:
     return platform in ("tpu", "axon")
 
 
-@functools.partial(jax.jit, static_argnames=("reverse", "interpret"))
+@functools.partial(jax.jit, static_argnames=("reverse", "interpret", "unroll"))
 def gru_scan(
     gx: jnp.ndarray,  # (T, B, 3H) float32 — precomputed input projection
     lengths: jnp.ndarray,  # (B,) int32
@@ -96,6 +106,7 @@ def gru_scan(
     h0: jnp.ndarray,  # (B, H) float32
     reverse: bool = False,
     interpret: bool = False,
+    unroll: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run the GRU recurrence over precomputed gates.
 
@@ -104,43 +115,65 @@ def gru_scan(
     state after the last grid step (for ``reverse=False`` this is the
     packed-semantics final state; for ``reverse=True`` it is the state at
     t=0, matching torch's bidirectional h_n for the backward direction).
+
+    ``unroll`` cells run per grid step (static inner loop); the time axis
+    is zero-padded up to a multiple internally (masking keeps padded steps
+    state-neutral, and for the reverse direction the padded tail is where
+    every row is already past its length, so it contributes nothing before
+    the valid region). Measured on v5e (T=401, B=104, H=1200, bf16):
+    unroll=1 is fastest (2.4 ms — Mosaic's per-block double buffering
+    overlaps best with single-step compute; larger unrolls serialize DMA
+    and compute within the block and run ~2x slower). Default 1.
     """
     t_max, batch, g3 = gx.shape
     hidden = w_hh.shape[0]
     assert g3 == 3 * hidden
 
-    time_ix = (lambda t: (t_max - 1 - t, 0, 0)) if reverse else (lambda t: (t, 0, 0))
+    unroll = max(1, min(unroll, t_max))
+    t_pad = -(-t_max // unroll) * unroll
+    if t_pad != t_max:
+        gx = jnp.pad(gx, ((0, t_pad - t_max), (0, 0), (0, 0)))
+    n_blocks = t_pad // unroll
+
+    time_ix = (
+        (lambda i: (n_blocks - 1 - i, 0, 0)) if reverse else (lambda i: (i, 0, 0))
+    )
 
     out, h_last = pl.pallas_call(
-        functools.partial(_gru_step_kernel, hidden=hidden, reverse=reverse),
-        grid=(t_max,),
+        functools.partial(
+            _gru_step_kernel, hidden=hidden, reverse=reverse, unroll=unroll
+        ),
+        grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, batch, 3 * hidden), time_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, 3 * hidden), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * hidden), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch, hidden), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, batch, 3 * hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, 3 * hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, batch, hidden), time_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch, hidden), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, batch, hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t_max, batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, batch, hidden), jnp.float32),
             jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((batch, hidden), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),  # sequential: h carried in scratch
+            # weights + double-buffered U-step gx/out blocks exceed the 16 MB
+            # default scoped limit; v5e has 128 MB of VMEM
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * t_max * batch * hidden * 3 * hidden,
+            flops=2 * t_pad * batch * hidden * 3 * hidden,
             bytes_accessed=(
                 gx.size * 4 + w_hh.size * w_hh.dtype.itemsize
-                + t_max * batch * hidden * 4
+                + t_pad * batch * hidden * 4
             ),
-            transcendentals=3 * t_max * batch * hidden,
+            transcendentals=3 * t_pad * batch * hidden,
         ),
     )(
         gx.astype(jnp.float32),
@@ -149,4 +182,4 @@ def gru_scan(
         b_hh.astype(jnp.float32).reshape(1, 3 * hidden),
         h0.astype(jnp.float32),
     )
-    return out, h_last
+    return out[:t_max], h_last
