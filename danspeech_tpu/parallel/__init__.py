@@ -8,3 +8,8 @@ from .mesh import (  # noqa: F401
 )
 from .sharding import param_pspecs, param_shardings, shard_params  # noqa: F401
 from .batch import ShardedTranscriber  # noqa: F401
+from .time_shard import (  # noqa: F401
+    pad_time_for_mesh,
+    time_sharded_forward,
+    transcribe_long_form,
+)
