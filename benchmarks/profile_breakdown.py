@@ -1,0 +1,110 @@
+"""Stage-by-stage timing of the flagship pipeline on the real TPU chip.
+
+Times STFT, conv stack, one GRU layer, the full RNN stack, and head+argmax
+separately (amortized enqueue, single fetch) to locate the bottleneck.
+Not part of bench.py — a developer tool.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from danspeech_tpu.features.spectrogram import SpectrogramAudioParser
+from danspeech_tpu.models import deepspeech as ds
+from danspeech_tpu.models.config import DeepSpeechConfig
+from danspeech_tpu.ops import stft as stft_ops
+
+B = int(os.environ.get("B", "104"))
+ITERS = int(os.environ.get("ITERS", "10"))
+
+config = DeepSpeechConfig(
+    model_name="DanSpeechPrimary", rnn_hidden_size=1200, rnn_layers=9,
+    conv_layers=3, bidirectional=True,
+)
+params = ds.cast_matmul_weights(ds.init_params(config, seed=0))
+parser = SpectrogramAudioParser(config.audio_conf)
+
+rng = np.random.default_rng(0)
+maxlen = 128000  # 8 s
+waves = jnp.asarray(rng.normal(size=(B, maxlen)).astype(np.float32) * 3000)
+lens = jnp.full((B,), maxlen, jnp.int32)
+
+
+def timeit(name, fn, *args):
+    out = fn(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = float(jnp.asarray(leaf).ravel()[0])  # force completion
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = float(jnp.asarray(leaf).ravel()[0])
+    dt = (time.perf_counter() - t0) / ITERS
+    print(f"{name:28s} {dt*1e3:9.1f} ms")
+    return out, dt
+
+
+@jax.jit
+def stft_fn(w, l):
+    return stft_ops.batched_log_spectrogram(
+        w, l, parser.n_fft, parser.hop_length, parser.window
+    )
+
+
+(spect, frame_lens), t_stft = timeit("stft", stft_fn, waves, lens)
+
+
+@jax.jit
+def conv_fn(p, s, fl):
+    out_lengths = ds.get_seq_lens(config, fl)
+    x = ds.conv_stack(p, config, s[:, None, :, :], out_lengths)
+    n, c, f, t = x.shape
+    return jnp.transpose(x.reshape(n, c * f, t), (2, 0, 1)), out_lengths
+
+
+(x_rnn, out_lengths), t_conv = timeit("conv stack", conv_fn, params, spect, frame_lens)
+
+
+@jax.jit
+def layer0_fn(p, x, l):
+    return ds._apply_rnn_layer(config, p["rnns"][0], x, l)
+
+
+_, t_l0 = timeit("gru layer 0 (in=2016)", layer0_fn, params, x_rnn, out_lengths)
+
+
+@jax.jit
+def layer1_fn(p, x, l):
+    return ds._apply_rnn_layer(config, p["rnns"][1], x[:, :, :1200], l)
+
+
+_, t_l1 = timeit("gru layer 1 (in=1200)", layer1_fn, params, x_rnn, out_lengths)
+
+
+@jax.jit
+def full_fn(p, w, l):
+    spect, frame_lens = stft_ops.batched_log_spectrogram(
+        w, l, parser.n_fft, parser.hop_length, parser.window
+    )
+    probs, out_lens = ds.forward(p, config, spect[:, None, :, :], frame_lens)
+    return jnp.argmax(probs, axis=-1), out_lens
+
+
+_, t_full = timeit("full pipeline", full_fn, params, waves, lens)
+
+audio_s = B * maxlen / 16000.0
+print(f"\nbatch audio: {audio_s:.0f} s   T frames: {int(frame_lens[0])}")
+print(f"full: {t_full*1e3:.1f} ms -> {audio_s/t_full:,.0f} audio-s/s/chip")
+print(f"rnn-stack share (est 9 layers): {(t_l1*8+t_l0)*1e3:.1f} ms")

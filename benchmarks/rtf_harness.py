@@ -1,0 +1,200 @@
+"""RTF harness: one measurement per BASELINE.json config on the real chip.
+
+Prints one JSON line per config:
+  {"config": i, "name": ..., "metric": "audio-s/s/chip", "value": N}
+
+Configs (BASELINE.md):
+  1. greedy decode of example_files/u0013002.wav (single utterance)
+  2. batch greedy decode of all 13 example_files utterances (= bench.py)
+  3. KenLM 3-gram CTC prefix beam search, beam=64 (synthetic LM — the real
+     zoo LMs need network; scoring cost is LM-content-independent)
+  4. streaming chunked recognition with rolling conv+GRU state
+  5. long-form transcription; multi-host scaling is validated functionally
+     on the virtual CPU mesh (tests/test_time_shard.py) — here the
+     single-chip long-form time-sharded path cannot run (1 chip), so we
+     report the VAD-segmented long-form flow (video_transcribe_simulation).
+
+Usage: python benchmarks/rtf_harness.py [--model test|flagship]
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+EXAMPLES = "/root/reference/example_files/*.wav"
+
+
+def force(x):
+    """Force device completion with a tiny fetch (axon block_until_ready is
+    unreliable for timing)."""
+    return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
+
+
+def build(model_kind: str):
+    from danspeech_tpu.models import DeepSpeechModel, deepspeech as ds
+    from danspeech_tpu.models.config import DeepSpeechConfig
+
+    if model_kind == "flagship":
+        cfg = DeepSpeechConfig(
+            model_name="DanSpeechPrimary", rnn_hidden_size=1200, rnn_layers=9,
+            conv_layers=3, bidirectional=True,
+        )
+    else:
+        cfg = DeepSpeechConfig(
+            model_name="TestModel", rnn_hidden_size=400, rnn_layers=5,
+            conv_layers=2, bidirectional=True,
+        )
+    params = ds.cast_matmul_weights(ds.init_params(cfg, seed=0))
+    return DeepSpeechModel(cfg, params)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="flagship", choices=["flagship", "test"])
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    from danspeech_tpu.audio import load_audio_wavPCM
+    from danspeech_tpu.engine import DanSpeechRecognizer
+
+    model = build(args.model)
+    paths = sorted(glob.glob(EXAMPLES))
+    waves = [load_audio_wavPCM(p) for p in paths]
+    audio_s = [len(w) / 16000.0 for w in waves]
+
+    results = []
+
+    def report(i, name, audio_seconds, seconds):
+        rec = {
+            "config": i,
+            "name": name,
+            "metric": "audio-s/s/chip",
+            "value": round(audio_seconds / seconds, 2),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    eng = DanSpeechRecognizer(model=model)
+
+    # --- config 1: single-utterance greedy ---------------------------------
+    eng.transcribe(waves[2])  # warm
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        eng.transcribe(waves[2])
+    report(1, "greedy_single_utt", audio_s[2] * args.iters, time.perf_counter() - t0)
+
+    # --- config 2: batch greedy, all 13 ------------------------------------
+    eng.transcribe_batch(waves)  # warm
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        eng.transcribe_batch(waves)
+    report(2, "batch_greedy_13utts", sum(audio_s) * args.iters, time.perf_counter() - t0)
+
+    # --- config 3: beam=64 with 3-gram LM ----------------------------------
+    lm = _synthetic_3gram()
+    eng_beam = DanSpeechRecognizer(
+        model=model, lm=lm, alpha=1.3, beta=0.2, beam_width=64
+    )
+    sub = waves[:4]
+    eng_beam.transcribe_batch(sub)  # warm
+    t0 = time.perf_counter()
+    eng_beam.transcribe_batch(sub)
+    report(3, "beam64_lm3gram", sum(audio_s[:4]), time.perf_counter() - t0)
+
+    # --- config 4: streaming chunked recognition ---------------------------
+    stream_model = build_streaming()
+    eng_s = DanSpeechRecognizer(model=stream_model)
+    eng_s.enable_streaming(secondary_model=None, return_string_parts=False)
+    chunk = 16000  # 1 s chunks
+    wav = waves[0]
+    n_chunks = max(1, len(wav) // chunk)
+
+    def run_stream():
+        eng_s.reset_streaming_params()
+        for ci in range(n_chunks):
+            part = wav[ci * chunk : (ci + 1) * chunk]
+            eng_s.streaming_transcribe(
+                part, is_last=(ci == n_chunks - 1), is_first=(ci == 0)
+            )
+
+    run_stream()  # warm
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        run_stream()
+    report(4, "streaming_chunked", audio_s[0] * args.iters, time.perf_counter() - t0)
+
+    # --- config 5: long-form VAD-segmented transcription --------------------
+    long_wav = np.concatenate(waves)  # 76.19 s "video"
+    from danspeech_tpu.audio.dsp import energy_vad_segments
+
+    segs = energy_vad_segments(long_wav, sample_rate=16000)
+    seg_waves = [long_wav[a:b] for a, b in segs] or [long_wav]
+    eng.transcribe_batch(seg_waves)  # warm
+    t0 = time.perf_counter()
+    eng.transcribe_batch(seg_waves)
+    report(5, "longform_vad_batch", len(long_wav) / 16000.0, time.perf_counter() - t0)
+
+    with open(os.path.join(REPO, "benchmarks", "rtf_results.json"), "w") as f:
+        json.dump({"model": args.model, "results": results}, f, indent=1)
+
+
+def _synthetic_3gram():
+    """Small Danish-vocab 3-gram (scoring cost is content-independent)."""
+    import tempfile
+
+    from danspeech_tpu.decode.lm import load_arpa
+
+    words = [
+        "hej", "med", "dig", "det", "er", "en", "test", "tak", "god", "dag",
+        "jeg", "har", "ikke", "til", "og", "som", "kan", "skal", "vil", "den",
+    ]
+    rng = np.random.default_rng(0)
+    uni = [f"{-1.5 - rng.random():.4f}\t{w}\t-0.30" for w in words]
+    bi, tri = [], []
+    for _ in range(200):
+        a, b = rng.choice(words, 2)
+        bi.append(f"{-1.0 - rng.random():.4f}\t{a} {b}\t-0.20")
+    for _ in range(400):
+        a, b, c = rng.choice(words, 3)
+        tri.append(f"{-0.5 - rng.random():.4f}\t{a} {b} {c}")
+    arpa = "\n".join(
+        ["\\data\\", f"ngram 1={len(uni)+2}", f"ngram 2={len(bi)}",
+         f"ngram 3={len(tri)}", "", "\\1-grams:",
+         "-99\t<s>\t-0.5", "-2.5\t</s>"]
+        + uni + ["", "\\2-grams:"] + bi + ["", "\\3-grams:"] + tri
+        + ["", "\\end\\", ""]
+    )
+    f = tempfile.NamedTemporaryFile(
+        "w", suffix=".arpa", delete=False, dir="/tmp"
+    )
+    f.write(arpa)
+    f.close()
+    return load_arpa(f.name)
+
+
+def build_streaming():
+    from danspeech_tpu.models import DeepSpeechModel, deepspeech as ds
+    from danspeech_tpu.models.config import DeepSpeechConfig
+
+    cfg = DeepSpeechConfig(
+        model_name="CPUStreamingRNN", rnn_hidden_size=800, rnn_layers=5,
+        conv_layers=2, bidirectional=False, context=20, streaming_model=True,
+    )
+    return DeepSpeechModel(cfg, ds.cast_matmul_weights(ds.init_params(cfg, seed=0)))
+
+
+if __name__ == "__main__":
+    main()

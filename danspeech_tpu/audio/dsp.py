@@ -150,3 +150,44 @@ def energy(x: np.ndarray) -> float:
     if x.size == 0:
         return 0.0
     return float(np.sqrt(np.mean(x * x)))
+
+
+def energy_vad_segments(
+    x: np.ndarray,
+    sample_rate: int = 16000,
+    step: int = 1024,
+    energy_threshold: float = 700.0,
+    max_pause_steps: int = 12,
+    min_segment_samples: int | None = None,
+) -> list[tuple[int, int]]:
+    """Energy-endpointed (start, end) sample ranges of speech in a long
+    recording — the hand-rolled VAD loop of the reference's long-form
+    driver (video_transcribe_simulation.py:100-143) as a reusable utility.
+
+    Walks ``x`` in ``step``-sample hops; a hop is "speaking" when its RMS
+    (int16 scale) exceeds ``energy_threshold``; ``max_pause_steps`` silent
+    hops end a segment; segments shorter than ``min_segment_samples``
+    (default 1 s) are dropped.
+    """
+    if min_segment_samples is None:
+        min_segment_samples = sample_rate
+    segments = []
+    start = None
+    pause = 0
+    for it in range(0, max(0, len(x) - step), step):
+        chunk = np.asarray(x[it : it + step], dtype=np.float64)
+        speaking = float(np.sqrt(np.mean(chunk * chunk))) * 32767 > energy_threshold
+        if start is None:
+            if speaking:
+                start, pause = it, 0
+        elif speaking:
+            pause = 0
+        else:
+            pause += 1
+            if pause > max_pause_steps:
+                if it - start > min_segment_samples:
+                    segments.append((start, it))
+                start = None
+    if start is not None and len(x) - start > min_segment_samples:
+        segments.append((start, len(x)))
+    return segments

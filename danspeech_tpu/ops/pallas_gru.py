@@ -88,6 +88,172 @@ def _gru_step_kernel(
         hlast_ref[:] = h
 
 
+def _gru_bidi_step_kernel(
+    gxf_ref,  # (U, B, 3H) float32 — fwd input projection, natural time
+    gxb_ref,  # (U, B, 3H) float32 — bwd input projection, natural time
+    len_ref,  # (B, 1) int32
+    whf_ref,  # (H, 3H)
+    whb_ref,  # (H, 3H)
+    bhf_ref,  # (1, 3H)
+    bhb_ref,  # (1, 3H)
+    h0f_ref,  # (B, H)
+    h0b_ref,  # (B, H)
+    outf_ref,  # (U, B, H)
+    outb_ref,  # (U, B, H)
+    hlf_ref,  # (B, H)
+    hlb_ref,  # (B, H)
+    hf_scr,  # (B, H) VMEM
+    hb_scr,  # (B, H) VMEM
+    *,
+    hidden: int,
+    unroll: int,
+):
+    """Both directions of one GRU layer in a single grid pass.
+
+    Grid step i advances the forward chain through time block i and the
+    backward chain through block n-1-i (the BlockSpec index maps deliver
+    the right slices). Interleaving the two independent recurrences gives
+    Mosaic two MXU matmuls per cell step whose gate (VPU) phases overlap
+    the other chain's matmul — measurably faster than two sequential
+    single-direction kernel launches.
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        hf_scr[:] = h0f_ref[:]
+        hb_scr[:] = h0b_ref[:]
+
+    h_f = hf_scr[:]
+    h_b = hb_scr[:]
+    lengths = len_ref[:]
+    base_f = i * unroll
+    base_b = (n_blocks - 1 - i) * unroll
+
+    def cell(h, gx, wh_ref, bh_ref, t):
+        gh = (
+            jnp.dot(h.astype(wh_ref.dtype), wh_ref[:], preferred_element_type=jnp.float32)
+            + bh_ref[:]
+        )
+        r = jax.nn.sigmoid(gx[:, :hidden] + gh[:, :hidden])
+        z = jax.nn.sigmoid(gx[:, hidden : 2 * hidden] + gh[:, hidden : 2 * hidden])
+        n = jnp.tanh(gx[:, 2 * hidden :] + r * gh[:, 2 * hidden :])
+        h_new = (1.0 - z) * n + z * h
+        m = (lengths > t).astype(jnp.float32)
+        return m * h_new + (1.0 - m) * h, h_new * m
+
+    for k in range(unroll):
+        kb = unroll - 1 - k  # backward chain walks its block in reverse
+        h_f, out_f = cell(h_f, gxf_ref[k], whf_ref, bhf_ref, base_f + k)
+        h_b, out_b = cell(h_b, gxb_ref[kb], whb_ref, bhb_ref, base_b + kb)
+        outf_ref[k] = out_f
+        outb_ref[kb] = out_b
+
+    hf_scr[:] = h_f
+    hb_scr[:] = h_b
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        hlf_ref[:] = h_f
+        hlb_ref[:] = h_b
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
+def gru_scan_bidi(
+    gx_f: jnp.ndarray,  # (T, B, 3H) float32
+    gx_b: jnp.ndarray,  # (T, B, 3H) float32
+    lengths: jnp.ndarray,  # (B,) int32
+    w_hh_f: jnp.ndarray,
+    w_hh_b: jnp.ndarray,
+    b_hh_f: jnp.ndarray,
+    b_hh_b: jnp.ndarray,
+    h0_f: jnp.ndarray,
+    h0_b: jnp.ndarray,
+    interpret: bool = False,
+    unroll: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused bidirectional GRU recurrence: both chains in one grid.
+
+    Returns (out_f, out_b, h_last_f, h_last_b) with the same per-direction
+    semantics as :func:`gru_scan` (masking freezes h and zeroes outputs past
+    each row's length; the backward chain consumes natural-time gx through
+    reversed index maps, so no reversed copy is materialized).
+    """
+    t_max, batch, g3 = gx_f.shape
+    hidden = w_hh_f.shape[0]
+    assert g3 == 3 * hidden
+
+    unroll = max(1, min(unroll, t_max))
+    t_pad = -(-t_max // unroll) * unroll
+    if t_pad != t_max:
+        pad = ((0, t_pad - t_max), (0, 0), (0, 0))
+        gx_f = jnp.pad(gx_f, pad)
+        gx_b = jnp.pad(gx_b, pad)
+    n_blocks = t_pad // unroll
+
+    fwd_ix = lambda i: (i, 0, 0)  # noqa: E731
+    bwd_ix = lambda i: (n_blocks - 1 - i, 0, 0)  # noqa: E731
+    const2 = lambda i: (0, 0)  # noqa: E731
+
+    out_f, out_b, hl_f, hl_b = pl.pallas_call(
+        functools.partial(_gru_bidi_step_kernel, hidden=hidden, unroll=unroll),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((unroll, batch, 3 * hidden), fwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, batch, 3 * hidden), bwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, 3 * hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, 3 * hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((unroll, batch, hidden), fwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, batch, hidden), bwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((batch, hidden), jnp.float32),
+            pltpu.VMEM((batch, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * t_pad * batch * hidden * 3 * hidden,
+            bytes_accessed=(
+                gx_f.size * 8
+                + (w_hh_f.size + w_hh_b.size) * w_hh_f.dtype.itemsize
+                + t_pad * batch * hidden * 8
+            ),
+            transcendentals=2 * 3 * t_pad * batch * hidden,
+        ),
+    )(
+        gx_f.astype(jnp.float32),
+        gx_b.astype(jnp.float32),
+        lengths.astype(jnp.int32).reshape(batch, 1),
+        w_hh_f,
+        w_hh_b,
+        b_hh_f.astype(jnp.float32).reshape(1, 3 * hidden),
+        b_hh_b.astype(jnp.float32).reshape(1, 3 * hidden),
+        h0_f.astype(jnp.float32),
+        h0_b.astype(jnp.float32),
+    )
+    return out_f[:t_max], out_b[:t_max], hl_f, hl_b
+
+
 def backend_supports_mosaic() -> bool:
     """True when the default backend compiles Pallas TPU kernels natively."""
     try:

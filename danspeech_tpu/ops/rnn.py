@@ -179,11 +179,13 @@ def _gru_layer_pallas(
     h0: jnp.ndarray | None,
     sum_directions: bool,
 ):
-    """Pallas-kernel GRU layer: per-direction input projections as one big
-    XLA einsum each, recurrence in the Mosaic grid kernel. Matches the
+    """Pallas-kernel GRU layer: the input projection for both directions is
+    one big XLA matmul against the gate-concatenated (I, 6H) weight, the
+    recurrence runs in the Mosaic grid kernel — both chains fused in a
+    single grid for bidirectional layers (gru_scan_bidi). Matches the
     lax.scan path bit-for-bit in masking/merge semantics (tests
     tests/test_pallas_gru.py pin the two against each other)."""
-    from .pallas_gru import gru_scan
+    from .pallas_gru import gru_scan, gru_scan_bidi
 
     t_max, batch, _ = x.shape
     hidden = fwd.w_hh.shape[0]
@@ -196,25 +198,40 @@ def _gru_layer_pallas(
         h0_f = h0[0].astype(jnp.float32)
         h0_b = h0[-1].astype(jnp.float32)
 
-    def run(weights: GRUWeights, h_init, reverse: bool):
+    if bwd is None:
         gx = (
             jnp.einsum(
                 "tbi,ik->tbk",
                 x.astype(mm_dtype),
-                weights.w_ih,
+                fwd.w_ih,
                 preferred_element_type=jnp.float32,
             )
-            + weights.b_ih.astype(jnp.float32)
+            + fwd.b_ih.astype(jnp.float32)
         )
-        return gru_scan(
-            gx, lengths, weights.w_hh, weights.b_hh, h_init,
-            reverse=reverse, interpret=interpret,
+        out_f, hl_f = gru_scan(
+            gx, lengths, fwd.w_hh, fwd.b_hh, h0_f,
+            reverse=False, interpret=interpret,
         )
-
-    out_f, hl_f = run(fwd, h0_f, reverse=False)
-    if bwd is None:
         return out_f, hl_f[None]
-    out_b, hl_b = run(bwd, h0_b, reverse=True)
+
+    # one MXU matmul feeds both chains: (T·B, I) x (I, 6H)
+    w_ih2 = jnp.concatenate([fwd.w_ih, bwd.w_ih], axis=1)
+    b_ih2 = jnp.concatenate([fwd.b_ih, bwd.b_ih])
+    gx2 = (
+        jnp.einsum(
+            "tbi,ik->tbk",
+            x.astype(mm_dtype),
+            w_ih2,
+            preferred_element_type=jnp.float32,
+        )
+        + b_ih2.astype(jnp.float32)
+    )
+    g3 = 3 * hidden
+    out_f, out_b, hl_f, hl_b = gru_scan_bidi(
+        gx2[..., :g3], gx2[..., g3:], lengths,
+        fwd.w_hh, bwd.w_hh, fwd.b_hh, bwd.b_hh, h0_f, h0_b,
+        interpret=interpret,
+    )
     merged = (
         out_f + out_b if sum_directions else jnp.concatenate([out_f, out_b], -1)
     )

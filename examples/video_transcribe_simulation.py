@@ -17,7 +17,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
 
-import numpy as np
 
 from danspeech_tpu import Recognizer
 from danspeech_tpu.audio import load_audio
@@ -50,31 +49,17 @@ def main():
     audio = load_audio(args.audio)
     audio = audio[int(args.offset_seconds * 16000):]
 
-    segments, pending = [], []
-    start = None
-    pause_count = 0
-    for it in range(0, len(audio) - STEP, STEP):
-        chunk = audio[it : it + STEP]
-        energy = float(np.sqrt(np.mean(chunk.astype(np.float64) ** 2))) * 32767
-        speaking = energy > args.energy_threshold
-        if start is None:
-            if speaking:
-                start = it
-                pause_count = 0
-        elif speaking:
-            pause_count = 0
-        else:
-            pause_count += 1
-            if pause_count > 12:  # ~0.77 s of silence ends the utterance
-                if it - start > 16000:  # keep segments > 1 s
-                    pending.append(audio[start:it])
-                start = None
-        if len(pending) >= args.batch:
-            segments.extend(recognizer.recognize_batch(pending))
-            pending = []
-    if start is not None and len(audio) - start > 16000:
-        pending.append(audio[start:])
-    if pending:
+    # energy-endpointed utterance ranges (reference loop :100-143), then
+    # flush through the device in data-parallel batches
+    from danspeech_tpu.audio.dsp import energy_vad_segments
+
+    ranges = energy_vad_segments(
+        audio, step=STEP, energy_threshold=args.energy_threshold,
+        max_pause_steps=12, min_segment_samples=16000,
+    )
+    segments = []
+    for i in range(0, len(ranges), args.batch):
+        pending = [audio[a:b] for a, b in ranges[i : i + args.batch]]
         segments.extend(recognizer.recognize_batch(pending))
 
     for i, text in enumerate(segments):

@@ -149,3 +149,20 @@ def test_speechfile_reads_aiff(tmp_path):
     with SpeechFile(str(p)) as src:
         data = src.stream.read(-1)
     np.testing.assert_array_equal(dsp.pcm_to_int_array(data, 2), samples)
+
+
+def test_energy_vad_segments_finds_speech_region():
+    from danspeech_tpu.audio.dsp import energy_vad_segments
+
+    x = np.zeros(160000, np.float32)  # 10 s
+    x[16000:80000] = (np.sin(np.arange(64000) * 0.3) * 0.3).astype(np.float32)
+    segs = energy_vad_segments(x)
+    assert len(segs) == 1
+    a, b = segs[0]
+    assert abs(a - 16000) < 2048 and abs(b - 80000) < 16000
+
+
+def test_energy_vad_segments_silence_returns_empty():
+    from danspeech_tpu.audio.dsp import energy_vad_segments
+
+    assert energy_vad_segments(np.zeros(64000, np.float32)) == []
