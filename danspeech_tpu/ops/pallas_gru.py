@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _gru_step_kernel(
-    gx_ref,  # (U, B, 3H) float32 — x @ w_ih + b_ih for U timesteps
+    gx_ref,  # (U, B, 3H) gx dtype — x @ w_ih + b_ih for U timesteps
     len_ref,  # (B, 1) int32 — sequence lengths
     whh_ref,  # (H, 3H) weights dtype
     bhh_ref,  # (1, 3H) float32
@@ -69,7 +69,7 @@ def _gru_step_kernel(
             )
             + bhh_ref[:]
         )
-        gx = gx_ref[kk]
+        gx = gx_ref[kk].astype(jnp.float32)  # bf16 streams at half HBM cost
         r = jax.nn.sigmoid(gx[:, :hidden] + gh[:, :hidden])
         z = jax.nn.sigmoid(
             gx[:, hidden : 2 * hidden] + gh[:, hidden : 2 * hidden]
@@ -79,7 +79,8 @@ def _gru_step_kernel(
 
         m = (lengths > t).astype(jnp.float32)  # (B, 1)
         h = m * h_new + (1.0 - m) * h
-        out_ref[kk] = h_new * m  # padded positions emit exact zeros
+        # padded positions emit exact zeros
+        out_ref[kk] = (h_new * m).astype(out_ref.dtype)
 
     h_scr[:] = h
 
@@ -132,6 +133,7 @@ def _gru_bidi_step_kernel(
     base_b = (n_blocks - 1 - i) * unroll
 
     def cell(h, gx, wh_ref, bh_ref, t):
+        gx = gx.astype(jnp.float32)
         gh = (
             jnp.dot(h.astype(wh_ref.dtype), wh_ref[:], preferred_element_type=jnp.float32)
             + bh_ref[:]
@@ -147,8 +149,8 @@ def _gru_bidi_step_kernel(
         kb = unroll - 1 - k  # backward chain walks its block in reverse
         h_f, out_f = cell(h_f, gxf_ref[k], whf_ref, bhf_ref, base_f + k)
         h_b, out_b = cell(h_b, gxb_ref[kb], whb_ref, bhb_ref, base_b + kb)
-        outf_ref[k] = out_f
-        outb_ref[kb] = out_b
+        outf_ref[k] = out_f.astype(outf_ref.dtype)
+        outb_ref[kb] = out_b.astype(outb_ref.dtype)
 
     hf_scr[:] = h_f
     hb_scr[:] = h_b
@@ -183,6 +185,10 @@ def gru_scan_bidi(
     t_max, batch, g3 = gx_f.shape
     hidden = w_hh_f.shape[0]
     assert g3 == 3 * hidden
+    # Sequence tensors stream in the caller's dtype: bfloat16 gx/out halves
+    # the dominant HBM traffic of the whole RNN stack (gates still add in
+    # float32 inside the kernel; the carried h and h_last stay float32).
+    seq_dtype = gx_f.dtype
 
     unroll = max(1, min(unroll, t_max))
     t_pad = -(-t_max // unroll) * unroll
@@ -217,8 +223,8 @@ def gru_scan_bidi(
             pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t_pad, batch, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, batch, hidden), seq_dtype),
+            jax.ShapeDtypeStruct((t_pad, batch, hidden), seq_dtype),
             jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
             jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
         ),
@@ -234,15 +240,15 @@ def gru_scan_bidi(
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * t_pad * batch * hidden * 3 * hidden,
             bytes_accessed=(
-                gx_f.size * 8
+                gx_f.size * 2 * seq_dtype.itemsize
                 + (w_hh_f.size + w_hh_b.size) * w_hh_f.dtype.itemsize
-                + t_pad * batch * hidden * 8
+                + t_pad * batch * hidden * 2 * seq_dtype.itemsize
             ),
             transcendentals=2 * 3 * t_pad * batch * hidden,
         ),
     )(
-        gx_f.astype(jnp.float32),
-        gx_b.astype(jnp.float32),
+        gx_f,
+        gx_b,
         lengths.astype(jnp.int32).reshape(batch, 1),
         w_hh_f,
         w_hh_b,
@@ -294,6 +300,7 @@ def gru_scan(
     t_max, batch, g3 = gx.shape
     hidden = w_hh.shape[0]
     assert g3 == 3 * hidden
+    seq_dtype = gx.dtype  # bf16 gx/out stream at half HBM cost (gates f32)
 
     unroll = max(1, min(unroll, t_max))
     t_pad = -(-t_max // unroll) * unroll
@@ -322,7 +329,7 @@ def gru_scan(
             pl.BlockSpec((batch, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t_pad, batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, batch, hidden), seq_dtype),
             jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((batch, hidden), jnp.float32)],
@@ -336,13 +343,13 @@ def gru_scan(
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * batch * hidden * 3 * hidden,
             bytes_accessed=(
-                gx.size * 4 + w_hh.size * w_hh.dtype.itemsize
-                + t_pad * batch * hidden * 4
+                gx.size * seq_dtype.itemsize + w_hh.size * w_hh.dtype.itemsize
+                + t_pad * batch * hidden * seq_dtype.itemsize
             ),
             transcendentals=3 * t_pad * batch * hidden,
         ),
     )(
-        gx.astype(jnp.float32),
+        gx,
         lengths.astype(jnp.int32).reshape(batch, 1),
         w_hh,
         b_hh.astype(jnp.float32).reshape(1, 3 * hidden),

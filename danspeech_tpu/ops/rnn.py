@@ -209,10 +209,12 @@ def _gru_layer_pallas(
             + fwd.b_ih.astype(jnp.float32)
         )
         out_f, hl_f = gru_scan(
-            gx, lengths, fwd.w_hh, fwd.b_hh, h0_f,
+            # bf16 weights -> bf16 gx/out streams (half the HBM traffic of
+            # the RNN stack's dominant tensors; gate adds stay f32 in-kernel)
+            gx.astype(mm_dtype), lengths, fwd.w_hh, fwd.b_hh, h0_f,
             reverse=False, interpret=interpret,
         )
-        return out_f, hl_f[None]
+        return out_f.astype(jnp.float32), hl_f[None]
 
     # one MXU matmul feeds both chains: (T·B, I) x (I, 6H)
     w_ih2 = jnp.concatenate([fwd.w_ih, bwd.w_ih], axis=1)
@@ -227,11 +229,14 @@ def _gru_layer_pallas(
         + b_ih2.astype(jnp.float32)
     )
     g3 = 3 * hidden
+    gx2 = gx2.astype(mm_dtype)  # bf16 streaming (see single-direction note)
     out_f, out_b, hl_f, hl_b = gru_scan_bidi(
         gx2[..., :g3], gx2[..., g3:], lengths,
         fwd.w_hh, bwd.w_hh, fwd.b_hh, bwd.b_hh, h0_f, h0_b,
         interpret=interpret,
     )
+    out_f = out_f.astype(jnp.float32)
+    out_b = out_b.astype(jnp.float32)
     merged = (
         out_f + out_b if sum_directions else jnp.concatenate([out_f, out_b], -1)
     )

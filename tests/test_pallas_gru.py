@@ -36,6 +36,38 @@ def test_pallas_matches_scan(bidi):
     np.testing.assert_allclose(hl_pl, hl_ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("bidi", [False, True])
+def test_pallas_bf16_streaming_close_to_f32(bidi):
+    """bfloat16 weights stream gx/out in bf16 through the kernel (half the
+    HBM traffic); gate math stays f32, so results track the f32 XLA path
+    within bf16 rounding."""
+    rng = np.random.default_rng(3)
+    t, b, i, h = 17, 5, 12, 16
+    x = jnp.asarray(rng.normal(size=(t, b, i)).astype(np.float32))
+    lengths = jnp.asarray(np.array([17, 13, 9, 17, 1], np.int32))
+    fwd32 = make_weights(rng, i, h)
+    bwd32 = make_weights(rng, i, h) if bidi else None
+    cast = lambda w: rnn_ops.GRUWeights(  # noqa: E731
+        w_ih=w.w_ih.astype(jnp.bfloat16),
+        w_hh=w.w_hh.astype(jnp.bfloat16),
+        b_ih=w.b_ih,
+        b_hh=w.b_hh,
+    )
+    fwd16 = cast(fwd32)
+    bwd16 = cast(bwd32) if bidi else None
+
+    out_ref, hl_ref = rnn_ops.gru_layer(x, lengths, fwd32, bwd32, impl="xla")
+    out_pl, hl_pl = rnn_ops.gru_layer(x, lengths, fwd16, bwd16, impl="pallas")
+
+    assert out_pl.dtype == jnp.float32  # caller-facing dtype is unchanged
+    np.testing.assert_allclose(out_pl, out_ref, rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(hl_pl, hl_ref, rtol=0.05, atol=0.05)
+    # padding mask stays exact in bf16
+    out = np.asarray(out_pl)
+    for row, ln in enumerate([17, 13, 9, 17, 1]):
+        assert np.all(out[ln:, row] == 0.0)
+
+
 def test_pallas_masking_zeroes_padding():
     rng = np.random.default_rng(1)
     t, b, i, h = 11, 3, 8, 8
