@@ -42,7 +42,10 @@ def load_waveforms():
     return waves, total_audio_s
 
 
-REPLICAS = 8  # 13 files x 8 = B=104 — fills the MXU's 128 rows (serving batch)
+# Serving batch: fill the MXU's 128-lane row tile exactly. The GRU per-step
+# matmul pads M up to 128 regardless, so every row below 128 is paid-for
+# silicon doing nothing — cycle the 13 files to occupy all 128 rows.
+BATCH_ROWS = int(os.environ.get("BENCH_BATCH_ROWS", "128"))
 
 
 def bench_tpu(waves, iters: int = 10):
@@ -62,7 +65,7 @@ def bench_tpu(waves, iters: int = 10):
     params = ds.cast_matmul_weights(ds.init_params(config, seed=0))
     parser = SpectrogramAudioParser(config.audio_conf)
 
-    waves = waves * REPLICAS
+    waves = [waves[i % len(waves)] for i in range(BATCH_ROWS)]
     lengths = np.array([len(w) for w in waves], dtype=np.int32)
     maxlen = -(-int(lengths.max()) // 16000) * 16000
     batch = np.zeros((len(waves), maxlen), dtype=np.float32)
@@ -102,7 +105,8 @@ def bench_tpu(waves, iters: int = 10):
         collapse_sequence(paths_np[b], int(out_lens_np[b]), config.labels, 0)
     decode_s = time.perf_counter() - t0
 
-    return elapsed + decode_s
+    batch_audio_s = float(lengths.sum()) / 16000.0
+    return elapsed + decode_s, batch_audio_s
 
 
 def bench_cpu_baseline(waves) -> float:
@@ -187,9 +191,10 @@ def bench_cpu_baseline(waves) -> float:
 
 def main():
     waves, total_audio_s = load_waveforms()
+    del total_audio_s  # throughput counts the actual batched rows
 
-    elapsed = bench_tpu(waves)
-    tpu_rate = total_audio_s * REPLICAS / elapsed
+    elapsed, batch_audio_s = bench_tpu(waves)
+    tpu_rate = batch_audio_s / elapsed
 
     try:
         cpu_rate = bench_cpu_baseline(waves)
