@@ -47,6 +47,13 @@ def load_waveforms():
 # silicon doing nothing — cycle the 13 files to occupy all 128 rows.
 BATCH_ROWS = int(os.environ.get("BENCH_BATCH_ROWS", "128"))
 
+# Length-bucketed batching (the DP serving plan, SURVEY §2.5): padding every
+# row to the global max wastes 26 % of the batch on the reference clips
+# (2.98-7.98 s). Group clips by ceil(len / bucket) and run one full
+# BATCH_ROWS dispatch per bucket — shapes stay bounded (one compile per
+# 1 s bucket), M stays 128, padding waste drops to ~7 %.
+BUCKET_SAMPLES = int(float(os.environ.get("BENCH_BUCKET_SECONDS", "1")) * 16000)
+
 
 def bench_tpu(waves, iters: int = 10):
     import jax
@@ -65,12 +72,13 @@ def bench_tpu(waves, iters: int = 10):
     params = ds.cast_matmul_weights(ds.init_params(config, seed=0))
     parser = SpectrogramAudioParser(config.audio_conf)
 
-    waves = [waves[i % len(waves)] for i in range(BATCH_ROWS)]
-    lengths = np.array([len(w) for w in waves], dtype=np.int32)
-    maxlen = -(-int(lengths.max()) // 16000) * 16000
-    batch = np.zeros((len(waves), maxlen), dtype=np.float32)
-    for i, w in enumerate(waves):
-        batch[i, : len(w)] = w
+    # Group clips into length buckets; each bucket runs as its own full
+    # BATCH_ROWS dispatch (cycling the bucket's clips), so the padded
+    # length of every dispatch is its own bucket boundary.
+    buckets: dict[int, list[np.ndarray]] = {}
+    for w in waves:
+        b = -(-len(w) // BUCKET_SAMPLES) * BUCKET_SAMPLES
+        buckets.setdefault(b, []).append(w)
 
     @jax.jit
     def run(params, waveforms, lens):
@@ -81,31 +89,43 @@ def bench_tpu(waves, iters: int = 10):
         # argmax on device: only the (B, T) paths come back to host
         return jnp.argmax(probs, axis=-1), out_lens
 
-    jb, jl = jnp.asarray(batch), jnp.asarray(lengths)
-    # warmup / compile
-    paths, out_lens = run(params, jb, jl)
-    _ = np.asarray(paths)
+    groups = []  # (jbatch, jlens, audio_s per dispatch)
+    for maxlen in sorted(buckets):
+        rows = [buckets[maxlen][i % len(buckets[maxlen])] for i in range(BATCH_ROWS)]
+        lengths = np.array([len(w) for w in rows], dtype=np.int32)
+        batch = np.zeros((BATCH_ROWS, maxlen), dtype=np.float32)
+        for i, w in enumerate(rows):
+            batch[i, : len(w)] = w
+        groups.append(
+            (jnp.asarray(batch), jnp.asarray(lengths), float(lengths.sum()) / 16000.0)
+        )
+
+    # warmup / compile every bucket shape
+    for jb, jl, _ in groups:
+        paths, out_lens = run(params, jb, jl)
+        _ = np.asarray(paths)
 
     # Amortized timing: enqueue all iterations, fetch once. The axon tunnel
     # has a ~30 ms dispatch+fetch round-trip that is not device time (a real
     # serving host overlaps it); TPU executes enqueued programs in order,
     # so total wall / iters is true steady-state per-batch latency.
+    fetched = []
     t0 = time.perf_counter()
     for _ in range(iters):
-        paths, out_lens = run(params, jb, jl)
-    paths_np = np.asarray(paths)
-    out_lens_np = np.asarray(out_lens)
+        fetched = [run(params, jb, jl) for jb, jl, _ in groups]
+    fetched_np = [(np.asarray(p), np.asarray(ol)) for p, ol in fetched]
     elapsed = (time.perf_counter() - t0) / iters
 
     # decode once (host-side collapse cost is part of the pipeline)
     t0 = time.perf_counter()
     from danspeech_tpu.decode.greedy import collapse_sequence
 
-    for b in range(paths_np.shape[0]):
-        collapse_sequence(paths_np[b], int(out_lens_np[b]), config.labels, 0)
+    for paths_np, out_lens_np in fetched_np:
+        for b in range(paths_np.shape[0]):
+            collapse_sequence(paths_np[b], int(out_lens_np[b]), config.labels, 0)
     decode_s = time.perf_counter() - t0
 
-    batch_audio_s = float(lengths.sum()) / 16000.0
+    batch_audio_s = sum(a for _, _, a in groups)
     return elapsed + decode_s, batch_audio_s
 
 
