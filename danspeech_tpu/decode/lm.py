@@ -70,20 +70,20 @@ class NgramLM:
         """ln p(word | context); context is a tuple of word ids (oldest
         first), truncated to order-1."""
         context = context[-(self.order - 1) :] if self.order > 1 else ()
+        backoff_sum = 0.0
         while True:
             ng = (*context, word_id)
             hit = self.tables[len(ng) - 1].get(ng)
             if hit is not None:
-                return hit[0]
+                return backoff_sum + hit[0]
             if not context:
                 # unigram miss = OOV
                 return OOV_SCORE
-            # back off: sum backoff weights of the contexts we drop
+            # back off: accumulate backoff weights of the contexts we drop
             bo = self.tables[len(context) - 1].get(context)
-            bo_w = bo[1] if bo is not None else 0.0
+            if bo is not None:
+                backoff_sum += bo[1]
             context = context[1:]
-            # recurse manually to accumulate backoff
-            return bo_w + self.score_word_ids(context, word_id)
 
     def score_word(self, context_words: list[str], word: str) -> float:
         """ctcdecode-compatible word scoring: OOV -> -1000, else backoff
