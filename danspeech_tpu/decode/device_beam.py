@@ -20,9 +20,11 @@ semantics, decoder.py:96-144):
 - per-step parent/char bookkeeping is stored (T, B, W) and the winning
   label sequences + emission times are reconstructed by backtracking.
 
-LM fusion stays on the host C++ path (irregular trie/hash lookups,
-SURVEY §2.2 N2/N3); this decoder covers the lm=None beam configuration
-and is the building block the distributed beam pruning rides on.
+LM fusion runs on device too (SURVEY §2.2 N2/N3): pass a
+decode.device_lm.DeviceLM and word-boundary scores are probed from
+HBM-resident n-gram hash tables inside the scan step — see
+decode/device_lm.py. This decoder is also the building block the
+distributed (beam-sharded) pruning rides on (decode/dist_beam.py).
 """
 
 from __future__ import annotations
@@ -76,13 +78,16 @@ def _segmented_logsumexp(values, starts):
     return jnp.where(starts, acc, NEG_INF)
 
 
-def expand_candidates(pb, pnb, last, h1, h2, lp_t, blank, parent_offset=0):
+def expand_candidates(pb, pnb, last, h1, h2, lp_t, blank, parent_offset=0,
+                      ext_bonus=None):
     """Expand W beams x C classes into flat candidate arrays.
 
     Returns (h1, h2, pb, pnb, last, parent, char), each (B, W*(C+1)).
     ``parent_offset`` shifts the recorded parent indices — the beam-sharded
     decoder passes each shard's global offset so backtrack pointers stay
-    global after the cross-chip merge.
+    global after the cross-chip merge. ``ext_bonus`` (B, W, C), if given,
+    is added to every extension candidate's log-probability — the LM
+    word-boundary bonus lands on the space column (decode/device_lm.py).
     """
     batch, w = pb.shape
     num_classes = lp_t.shape[-1]
@@ -103,6 +108,8 @@ def expand_candidates(pb, pnb, last, h1, h2, lp_t, blank, parent_offset=0):
     rep = pb[:, :, None] + lp_t[:, None, :]
     is_last = jnp.arange(num_classes)[None, None, :] == last[:, :, None]
     ext_pnb = jnp.where(is_last, rep, base)  # (B, W, C)
+    if ext_bonus is not None:
+        ext_pnb = ext_pnb + ext_bonus
     ext_pnb = ext_pnb.at[:, :, blank].set(NEG_INF)
 
     # candidate keys
@@ -184,7 +191,8 @@ def merge_top_w(cands, w):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("beam_width", "blank", "max_symbols")
+    jax.jit,
+    static_argnames=("beam_width", "blank", "max_symbols", "space"),
 )
 def ctc_beam_search_device(
     probs: jnp.ndarray,  # (B, T, C) softmax probabilities
@@ -192,6 +200,10 @@ def ctc_beam_search_device(
     beam_width: int = 64,
     blank: int = 0,
     max_symbols: int | None = None,
+    lm=None,  # decode.device_lm.DeviceLM for on-device LM fusion
+    alpha: float = 0.0,
+    beta: float = 0.0,
+    space: int = -1,
 ):
     """Batched beam search. Returns (labels, times, lens, scores):
 
@@ -199,6 +211,12 @@ def ctc_beam_search_device(
     times  — (B, W, T) int32 frame index of each emitted char
     lens   — (B, W) int32 sequence lengths
     scores — (B, W) f32 total ln-probabilities, best first
+
+    With ``lm`` (a DeviceLM), word-boundary LM fusion runs inside the scan:
+    every space extension earns alpha * ln p(word | context) + beta from
+    HBM-resident hash-table probes, and final beams not ending in space
+    score their trailing word — the reference's ctcdecode+KenLM
+    configuration (decoder.py:96-144) with no host round-trip.
     """
     batch, t_max, num_classes = probs.shape
     w = beam_width
@@ -211,13 +229,35 @@ def ctc_beam_search_device(
     h1 = jnp.zeros((batch, w), jnp.uint32)
     h2 = jnp.zeros((batch, w), jnp.uint32)
 
-    n_cand = w * (num_classes + 1)
+    if lm is not None:
+        from .device_lm import (
+            boundary_scores,
+            init_lm_state,
+            reconstruct_lm_state,
+            final_scores,
+        )
+
+        lm_state0 = init_lm_state(batch, w, lm.order)
+    else:
+        lm_state0 = None
 
     def step(state, inputs):
-        pb, pnb, last, h1, h2 = state
+        pb, pnb, last, h1, h2, lm_state = state
         lp_t, t = inputs  # (B, C), scalar
+
+        if lm is not None:
+            bscore, wid = boundary_scores(lm, lm_state, alpha, beta)
+            ext_bonus = (
+                jnp.zeros((batch, w, num_classes))
+                .at[:, :, space]
+                .set(bscore)
+            )
+        else:
+            ext_bonus = None
+
         cands = expand_candidates(
-            pb, pnb, last, h1, h2, lp_t, blank, parent_offset=0
+            pb, pnb, last, h1, h2, lp_t, blank, parent_offset=0,
+            ext_bonus=ext_bonus,
         )
         (n_pb, n_pnb, n_last, n_h1, n_h2, bk_parent, bk_char) = merge_top_w(
             cands, w
@@ -226,34 +266,49 @@ def ctc_beam_search_device(
         # freeze state for rows past their length
         active = (t < lengths)[:, None]
         keep = lambda new, old: jnp.where(active, new, old)
-        new_state = (
-            keep(n_pb, pb), keep(n_pnb, pnb), keep(n_last, last),
-            keep(n_h1, h1), keep(n_h2, h2),
-        )
         # inactive rows: every beam keeps itself with no emission
         bk_parent = jnp.where(
             active, bk_parent, jnp.arange(w, dtype=jnp.int32)[None, :]
         )
         bk_char = jnp.where(active, bk_char, jnp.full((batch, w), -1, jnp.int32))
+        if lm is not None:
+            # LM state is a pure function of the prefix: rebuild it from
+            # each kept candidate's (parent, char) instead of sorting it
+            # through the merge (identity pointers keep frozen rows intact)
+            lm_state = reconstruct_lm_state(
+                lm_state, bk_parent, bk_char, wid, space
+            )
+        new_state = (
+            keep(n_pb, pb), keep(n_pnb, pnb), keep(n_last, last),
+            keep(n_h1, h1), keep(n_h2, h2), lm_state,
+        )
         return new_state, (bk_parent, bk_char)
 
-    (pb, pnb, last, h1, h2), (parents, chars) = jax.lax.scan(
+    (pb, pnb, last, h1, h2, lm_state), (parents, chars) = jax.lax.scan(
         step,
-        (pb, pnb, last, h1, h2),
+        (pb, pnb, last, h1, h2, lm_state0),
         (jnp.transpose(log_probs, (1, 0, 2)), jnp.arange(t_max)),
     )
-    return backtrack_beams(pb, pnb, parents, chars, t_max)
+    if lm is not None:
+        extra = final_scores(lm, lm_state, last, alpha, beta, space)
+    else:
+        extra = None
+    return backtrack_beams(pb, pnb, parents, chars, t_max, extra_scores=extra)
 
 
 @functools.partial(jax.jit, static_argnames=("t_max",))
-def backtrack_beams(pb, pnb, parents, chars, t_max):
+def backtrack_beams(pb, pnb, parents, chars, t_max, extra_scores=None):
     """Score-sort the final beams and reconstruct label sequences + times
     by walking the per-step (parent, char) pointers backwards.
 
-    parents/chars are (T, B, W); returns (labels, times, lens, scores).
+    parents/chars are (T, B, W); ``extra_scores`` (B, W), if given, is
+    added to the CTC path scores before ranking (the trailing-word LM
+    term). Returns (labels, times, lens, scores).
     """
     batch, w = pb.shape
     scores = _logaddexp(pb, pnb)  # (B, W)
+    if extra_scores is not None:
+        scores = scores + extra_scores
     order = jnp.argsort(-scores, axis=1)
     scores = jnp.take_along_axis(scores, order, axis=1)
 
@@ -307,14 +362,36 @@ def backtrack_beams(pb, pnb, parents, chars, t_max):
 class DeviceBeamDecoder:
     """Decoder-API wrapper over :func:`ctc_beam_search_device`.
 
-    Same (strings, offsets) contract as BeamCTCDecoder.decode for the
-    lm=None configuration, but batched on device.
+    Same (strings, offsets) contract as BeamCTCDecoder.decode — including
+    LM-fused decoding when ``lm`` is given (an NgramLM/ARPA path is packed
+    into a DeviceLM on construction and lives in HBM across calls).
     """
 
-    def __init__(self, labels: str, beam_width: int = 64, blank_index: int = 0):
+    def __init__(
+        self,
+        labels: str,
+        beam_width: int = 64,
+        blank_index: int = 0,
+        lm=None,
+        alpha: float = 0.0,
+        beta: float = 0.0,
+    ):
         self.labels = labels
         self.beam_width = beam_width
         self.blank_index = blank_index
+        self.space_index = labels.index(" ") if " " in labels else -1
+        self.alpha = alpha
+        self.beta = beta
+        if lm is not None:
+            from .device_lm import DeviceLM, pack_device_lm
+
+            if isinstance(lm, str):
+                from .lm import load_lm
+
+                lm = load_lm(lm)
+            if not isinstance(lm, DeviceLM):
+                lm = pack_device_lm(lm, labels)
+        self.lm = lm
 
     def decode(self, probs, sizes=None):
         probs = jnp.asarray(probs)
@@ -325,7 +402,9 @@ class DeviceBeamDecoder:
             else jnp.full((batch,), t_max, jnp.int32)
         )
         labels, times, lens, scores = ctc_beam_search_device(
-            probs, sizes, beam_width=self.beam_width, blank=self.blank_index
+            probs, sizes, beam_width=self.beam_width, blank=self.blank_index,
+            lm=self.lm, alpha=self.alpha, beta=self.beta,
+            space=self.space_index,
         )
         labels, times = np.asarray(labels), np.asarray(times)
         lens, scores = np.asarray(lens), np.asarray(scores)

@@ -7,6 +7,14 @@ are the per-step cost), the candidate arrays are exchanged with
 merge + top-W prune — so the pruned beam state stays replicated and
 deterministic without a designated leader chip.
 
+LM fusion rides the same exchange: each chip probes the HBM-resident
+n-gram tables (decode/device_lm.py) for its beam slice only, the per-beam
+word ids travel in the same all_gather as the candidates, and the merged
+front's LM state is rebuilt from the global (parent, char) pointers — so
+the reference's ctcdecode+KenLM configuration
+(/root/reference/danspeech/deepspeech/decoder.py:96-144) scales across
+chips with cross-chip pruning (SURVEY §2.2 N2/N3 plan).
+
 This complements the data-parallel route (batch rows sharded, see
 parallel/batch.py): beam-parallel pays off when a single long utterance
 must decode with a very wide beam; DP pays off for throughput. Both ride
@@ -32,10 +40,11 @@ from .device_beam import (
 )
 
 
-def _sharded_search(lp, lengths, beam_width, blank, n_shards, axis):
+def _sharded_search(lp, lengths, beam_width, blank, n_shards, axis,
+                    lm=None, alpha=0.0, beta=0.0, space=-1):
     """shard_map body: lp is this chip's full (B, T, C) log-probs (replicated),
     beams are logically sharded — each chip expands its slice."""
-    batch, t_max, _ = lp.shape
+    batch, t_max, num_classes = lp.shape
     w = beam_width
     w_local = w // n_shards
     shard = jax.lax.axis_index(axis)
@@ -47,14 +56,42 @@ def _sharded_search(lp, lengths, beam_width, blank, n_shards, axis):
     h1 = jnp.zeros((batch, w), jnp.uint32)
     h2 = jnp.zeros((batch, w), jnp.uint32)
 
+    if lm is not None:
+        from .device_lm import (
+            boundary_scores,
+            init_lm_state,
+            reconstruct_lm_state,
+        )
+
+        lm_state0 = init_lm_state(batch, w, lm.order)
+    else:
+        lm_state0 = None
+
     def step(state, inputs):
-        pb, pnb, last, h1, h2 = state
+        pb, pnb, last, h1, h2, lm_state = state
         lp_t, t = inputs
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, offset, w_local, axis=1)
+
+        if lm is not None:
+            # probe the LM only for this chip's beam slice
+            local_lm = tuple(
+                jax.lax.dynamic_slice_in_dim(a, offset, w_local, axis=1)
+                for a in lm_state
+            )
+            bscore, wid_local = boundary_scores(lm, local_lm, alpha, beta)
+            ext_bonus = (
+                jnp.zeros((batch, w_local, num_classes))
+                .at[:, :, space]
+                .set(bscore)
+            )
+        else:
+            ext_bonus = None
+            wid_local = None
+
         # expand ONLY this chip's beam slice; parents recorded globally
         cands = expand_candidates(
             sl(pb), sl(pnb), sl(last), sl(h1), sl(h2), lp_t, blank,
-            parent_offset=offset,
+            parent_offset=offset, ext_bonus=ext_bonus,
         )
         # exchange candidate slices over ICI and merge the global front
         gathered = tuple(
@@ -68,24 +105,38 @@ def _sharded_search(lp, lengths, beam_width, blank, n_shards, axis):
         )
         active = (t < lengths)[:, None]
         keep = lambda new, old: jnp.where(active, new, old)
-        new_state = (
-            keep(n_pb, pb), keep(n_pnb, pnb), keep(n_last, last),
-            keep(n_h1, h1), keep(n_h2, h2),
-        )
         bk_parent = jnp.where(
             active, bk_parent, jnp.arange(w, dtype=jnp.int32)[None, :]
         )
         bk_char = jnp.where(
             active, bk_char, jnp.full((batch, w), -1, jnp.int32)
         )
+        if lm is not None:
+            # word ids ride the same exchange; shard order == global order
+            wid = jnp.concatenate(
+                jax.lax.all_gather(wid_local, axis), axis=1
+            )
+            lm_state = reconstruct_lm_state(
+                lm_state, bk_parent, bk_char, wid, space
+            )
+        new_state = (
+            keep(n_pb, pb), keep(n_pnb, pnb), keep(n_last, last),
+            keep(n_h1, h1), keep(n_h2, h2), lm_state,
+        )
         return new_state, (bk_parent, bk_char)
 
-    (pb, pnb, last, h1, h2), (parents, chars) = jax.lax.scan(
+    (pb, pnb, last, h1, h2, lm_state), (parents, chars) = jax.lax.scan(
         step,
-        (pb, pnb, last, h1, h2),
+        (pb, pnb, last, h1, h2, lm_state0),
         (jnp.transpose(lp, (1, 0, 2)), jnp.arange(t_max)),
     )
-    return pb, pnb, parents, chars
+    if lm is not None:
+        from .device_lm import final_scores
+
+        extra = final_scores(lm, lm_state, last, alpha, beta, space)
+    else:
+        extra = jnp.zeros_like(pb)
+    return pb, pnb, parents, chars, extra
 
 
 def ctc_beam_search_beam_sharded(
@@ -95,6 +146,10 @@ def ctc_beam_search_beam_sharded(
     axis: str = "data",
     beam_width: int = 64,
     blank: int = 0,
+    lm=None,  # decode.device_lm.DeviceLM (replicated over the mesh)
+    alpha: float = 0.0,
+    beta: float = 0.0,
+    space: int = -1,
 ):
     """Beam-sharded search over ``mesh``'s ``axis``.
 
@@ -120,20 +175,39 @@ def ctc_beam_search_beam_sharded(
     batch, t_max, _ = probs.shape
     log_probs = jnp.log(jnp.clip(probs, 1e-30, None)).astype(jnp.float32)
 
-    body = functools.partial(
-        _sharded_search,
-        beam_width=beam_width,
-        blank=blank,
-        n_shards=n_shards,
-        axis=axis,
-    )
-    pb, pnb, parents, chars = smap(
-        body,
-        mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=(P(), P(), P(), P()),
-    )(log_probs, lengths.astype(jnp.int32))
+    if lm is not None:
+        body = functools.partial(
+            _sharded_search,
+            beam_width=beam_width,
+            blank=blank,
+            n_shards=n_shards,
+            axis=axis,
+            alpha=alpha,
+            beta=beta,
+            space=space,
+        )
+        lm_specs = jax.tree_util.tree_map(lambda _: P(), lm)
+        pb, pnb, parents, chars, extra = smap(
+            lambda lp, lens, dlm: body(lp, lens, lm=dlm),
+            mesh=mesh,
+            in_specs=(P(), P(), lm_specs),
+            out_specs=(P(), P(), P(), P(), P()),
+        )(log_probs, lengths.astype(jnp.int32), lm)
+    else:
+        body = functools.partial(
+            _sharded_search,
+            beam_width=beam_width,
+            blank=blank,
+            n_shards=n_shards,
+            axis=axis,
+        )
+        pb, pnb, parents, chars, extra = smap(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
+        )(log_probs, lengths.astype(jnp.int32))
 
     from .device_beam import backtrack_beams
 
-    return backtrack_beams(pb, pnb, parents, chars, t_max)
+    return backtrack_beams(pb, pnb, parents, chars, t_max, extra_scores=extra)
