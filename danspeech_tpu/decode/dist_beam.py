@@ -211,3 +211,74 @@ def ctc_beam_search_beam_sharded(
     from .device_beam import backtrack_beams
 
     return backtrack_beams(pb, pnb, parents, chars, t_max, extra_scores=extra)
+
+
+class ShardedBeamDecoder:
+    """Decoder-API wrapper over :func:`ctc_beam_search_beam_sharded`.
+
+    Same (strings, offsets) contract as BeamCTCDecoder.decode / the
+    DeviceBeamDecoder, with the beam front sharded over ``mesh``'s data
+    axis; reachable from the public API via
+    ``Recognizer.update_decoder(backend="sharded", mesh=...)``.
+    """
+
+    def __init__(
+        self,
+        labels: str,
+        mesh: Mesh,
+        axis: str = "data",
+        beam_width: int = 64,
+        blank_index: int = 0,
+        lm=None,
+        alpha: float = 0.0,
+        beta: float = 0.0,
+    ):
+        self.labels = labels
+        self.mesh = mesh
+        self.axis = axis
+        self.beam_width = beam_width
+        self.blank_index = blank_index
+        self.space_index = labels.index(" ") if " " in labels else -1
+        self.alpha = alpha
+        self.beta = beta
+        if lm is not None:
+            from .device_lm import DeviceLM, pack_device_lm
+
+            if isinstance(lm, str):
+                from .lm import load_lm
+
+                lm = load_lm(lm)
+            if not isinstance(lm, DeviceLM):
+                lm = pack_device_lm(lm, labels)
+        self.lm = lm
+
+    def decode(self, probs, sizes=None):
+        import numpy as np
+
+        probs = jnp.asarray(probs)
+        batch, t_max, _ = probs.shape
+        sizes = (
+            jnp.asarray(sizes, jnp.int32)
+            if sizes is not None
+            else jnp.full((batch,), t_max, jnp.int32)
+        )
+        labels, times, lens, scores = ctc_beam_search_beam_sharded(
+            probs, sizes, self.mesh, axis=self.axis,
+            beam_width=self.beam_width, blank=self.blank_index,
+            lm=self.lm, alpha=self.alpha, beta=self.beta,
+            space=self.space_index,
+        )
+        labels, times = np.asarray(labels), np.asarray(times)
+        lens, scores = np.asarray(lens), np.asarray(scores)
+        all_strings, all_offsets = [], []
+        for b in range(batch):
+            strings, offsets = [], []
+            for k in range(self.beam_width):
+                n = int(lens[b, k])
+                strings.append(
+                    "".join(self.labels[c] for c in labels[b, k, :n])
+                )
+                offsets.append(times[b, k, :n].astype(np.int32))
+            all_strings.append(strings)
+            all_offsets.append(offsets)
+        return all_strings, all_offsets

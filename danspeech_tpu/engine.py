@@ -128,8 +128,22 @@ class DanSpeechRecognizer:
         self._forward_fn = None
         self._stream_fns = {}
 
-    def update_decoder(self, lm=None, alpha=None, beta=None, labels=None, beam_width=None):
-        """Decoder hot-swap with change detection (reference :58-95)."""
+    def update_decoder(self, lm=None, alpha=None, beta=None, labels=None,
+                       beam_width=None, backend=None, mesh=None):
+        """Decoder hot-swap with change detection (reference :58-95).
+
+        ``backend`` selects where beam search runs when an LM/beam decoder
+        is active (greedy is always a device argmax + host collapse):
+
+        - "host" (default) — the threaded C++ prefix beam search
+          (native/ctcbeam) with its Python oracle fallback;
+        - "device" — the jitted on-device search with HBM-resident LM
+          tables (decode/device_beam.py + device_lm.py); composes with
+          data-parallel batches;
+        - "sharded" — the beam front sharded over ``mesh``'s data axis
+          with all_gather pruning (decode/dist_beam.py); ``mesh`` is
+          required (and remembered across swaps).
+        """
         update = False
         if not self.lm and not self.decoder:
             update = True
@@ -149,26 +163,94 @@ class DanSpeechRecognizer:
         if beam_width and beam_width != self.beam_width:
             update = True
             self.beam_width = beam_width
+        if backend and backend != getattr(self, "decoder_backend", "host"):
+            if backend not in ("host", "device", "sharded"):
+                raise ValueError(f"unknown decoder backend: {backend!r}")
+            update = True
+            self.decoder_backend = backend
+        if not hasattr(self, "decoder_backend"):
+            self.decoder_backend = "host"
+        if mesh is not None and mesh is not getattr(self, "decoder_mesh", None):
+            update = True
+            self.decoder_mesh = mesh
+        if not hasattr(self, "decoder_mesh"):
+            self.decoder_mesh = None
 
         if update:
+            blank = self.labels.index("_")
             if self.lm != "greedy":
-                from .decode.beam import BeamCTCDecoder
+                if self.decoder_backend == "device":
+                    from .decode.device_beam import DeviceBeamDecoder
 
-                self.decoder = BeamCTCDecoder(
-                    labels=self.labels,
-                    lm_path=self.lm,
-                    alpha=self.alpha,
-                    beta=self.beta,
-                    beam_width=self.beam_width,
-                    num_processes=6,
-                    cutoff_prob=1.0,
-                    cutoff_top_n=40,
-                    blank_index=self.labels.index("_"),
-                )
+                    self.decoder = DeviceBeamDecoder(
+                        labels=self.labels,
+                        beam_width=self.beam_width,
+                        blank_index=blank,
+                        lm=self._device_lm(),
+                        alpha=self.alpha,
+                        beta=self.beta,
+                    )
+                elif self.decoder_backend == "sharded":
+                    if self.decoder_mesh is None:
+                        raise ValueError(
+                            "backend='sharded' needs a mesh: "
+                            "update_decoder(..., mesh=make_mesh(...))"
+                        )
+                    from .decode.dist_beam import ShardedBeamDecoder
+
+                    self.decoder = ShardedBeamDecoder(
+                        labels=self.labels,
+                        mesh=self.decoder_mesh,
+                        beam_width=self.beam_width,
+                        blank_index=blank,
+                        lm=self._device_lm(),
+                        alpha=self.alpha,
+                        beta=self.beta,
+                    )
+                else:
+                    from .decode.beam import BeamCTCDecoder
+
+                    self.decoder = BeamCTCDecoder(
+                        labels=self.labels,
+                        lm_path=self.lm,
+                        alpha=self.alpha,
+                        beta=self.beta,
+                        beam_width=self.beam_width,
+                        num_processes=6,
+                        cutoff_prob=1.0,
+                        cutoff_top_n=40,
+                        blank_index=blank,
+                    )
             else:
                 self.decoder = GreedyDecoder(
-                    labels=self.labels, blank_index=self.labels.index("_")
+                    labels=self.labels, blank_index=blank
                 )
+
+    def _device_lm(self):
+        """Resolve self.lm to a DeviceLM (HBM hash tables) or None.
+
+        KenLM probing binaries score through per-order 64-bit tables that
+        cannot be re-keyed for the device scheme (their stored keys are
+        hashes, the word-id tuples are unrecoverable) — those stay on the
+        host backend with a clear error.
+        """
+        if self.lm in (None, "greedy"):
+            return None
+        from .decode.device_lm import DeviceLM, pack_device_lm
+        from .decode.lm import NgramLM, load_lm
+
+        lm = self.lm
+        if isinstance(lm, str):
+            lm = load_lm(lm)
+        if isinstance(lm, DeviceLM):
+            return lm
+        if isinstance(lm, NgramLM):
+            return pack_device_lm(lm, self.labels)
+        raise ValueError(
+            f"LM of type {type(lm).__name__} cannot be packed for the "
+            "device backend (needs an enumerable NgramLM, e.g. from an "
+            ".arpa file); use backend='host' for KenLM .klm binaries."
+        )
 
     # ------------------------------------------------------------------
     # Jitted device programs
@@ -252,6 +334,22 @@ class DanSpeechRecognizer:
         if show_all:
             return decoded_output
         return [d[0] for d in decoded_output]
+
+    def transcribe_long_form(self, recording, mesh=None):
+        """Transcribe one long utterance with the time axis sharded over a
+        mesh (parallel/time_shard.py: halo-exchange convs, wavefront GRU,
+        ppermute ring for the bidirectional pass). ``mesh=None`` builds a
+        1D data mesh over all visible devices."""
+        if self.model is None:
+            raise ModelNotInitialized("No acoustic model loaded")
+        from .parallel.mesh import make_mesh
+        from .parallel.time_shard import transcribe_long_form
+
+        if mesh is None:
+            mesh = make_mesh()
+        return transcribe_long_form(
+            self.model, np.asarray(recording), mesh, decoder=self.decoder
+        )
 
     # ------------------------------------------------------------------
     # Streaming (reference :98-216)

@@ -82,9 +82,25 @@ class Recognizer:
         self.danspeech_recognizer.update_model(model)
         print(f"Model updated to: {model.model_name}")
 
-    def update_decoder(self, lm=None, alpha=None, beta=None, beam_width=None):
+    def update_decoder(self, lm=None, alpha=None, beta=None, beam_width=None,
+                       backend=None, mesh=None):
+        """Swap the decoder (reference :109-131). ``backend`` additionally
+        selects where beam search runs: "host" (threaded C++), "device"
+        (jitted on-device search with HBM-resident LM tables), or
+        "sharded" (beam front sharded over ``mesh`` with all_gather
+        pruning)."""
         self.danspeech_recognizer.update_decoder(
-            lm=lm, alpha=alpha, beta=beta, beam_width=beam_width
+            lm=lm, alpha=alpha, beta=beta, beam_width=beam_width,
+            backend=backend, mesh=mesh,
+        )
+
+    def recognize_long_form(self, audio_data, mesh=None):
+        """Transcribe one long utterance with its time axis sharded over a
+        device mesh (no reference analog — the reference VAD-segments long
+        audio on the host, video_transcribe_simulation.py:100-143; this
+        rides parallel/time_shard.py instead)."""
+        return self.danspeech_recognizer.transcribe_long_form(
+            audio_data, mesh=mesh
         )
 
     # ------------------------------------------------------------------

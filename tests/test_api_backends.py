@@ -1,0 +1,80 @@
+"""Public-API reach of the device/sharded beam decoders and long-form
+transcription (VERDICT r1 item 7): everything goes through Recognizer
+only, like the reference's single surface (Recognizer.py:97-131).
+"""
+
+import numpy as np
+import pytest
+
+from danspeech_tpu import Recognizer
+from danspeech_tpu.audio import load_audio
+from danspeech_tpu.decode.lm import NgramLM
+from danspeech_tpu.models import DeepSpeechModel
+from danspeech_tpu.models.config import DeepSpeechConfig
+from danspeech_tpu.parallel.mesh import make_mesh
+
+from test_model_parity import randomize_bn
+
+
+@pytest.fixture(scope="module")
+def model():
+    config = DeepSpeechConfig(
+        model_name="api-backends", rnn_hidden_size=96, rnn_layers=2, conv_layers=2
+    )
+    m = DeepSpeechModel.init_random(config, seed=11)
+    m.params = randomize_bn(m.params, seed=12)
+    return m
+
+
+@pytest.fixture(scope="module")
+def lm(model):
+    rng = np.random.default_rng(9)
+    words = ["hej", "med", "dig", "tak", "nu", "og"]
+    lm = NgramLM(2)
+    for w in words:
+        lm.add_ngram((w,), float(rng.uniform(-2, -0.3)), float(rng.uniform(-0.5, 0)))
+    for _ in range(12):
+        pair = tuple(words[i] for i in rng.integers(0, len(words), 2))
+        if pair not in lm.tables[1]:
+            lm.add_ngram(pair, float(rng.uniform(-1.5, -0.1)))
+    return lm
+
+
+def test_device_backend_matches_host(model, lm, example_wav):
+    waveform = load_audio(example_wav)[:48000]
+    rec = Recognizer(model=model, lm=lm, alpha=1.0, beta=0.3)
+    rec.update_decoder(beam_width=8)
+    host_out = rec.recognize(waveform)
+
+    rec.update_decoder(backend="device")
+    dev_out = rec.recognize(waveform)
+    assert dev_out == host_out
+
+    # hot-swap back
+    rec.update_decoder(backend="host")
+    assert rec.recognize(waveform) == host_out
+
+
+def test_sharded_backend_matches_host(model, lm, example_wav):
+    waveform = load_audio(example_wav)[:32000]
+    rec = Recognizer(model=model, lm=lm, alpha=1.0, beta=0.3)
+    rec.update_decoder(beam_width=8)
+    host_out = rec.recognize(waveform)
+
+    rec.update_decoder(backend="sharded", mesh=make_mesh())
+    assert rec.recognize(waveform) == host_out
+
+
+def test_sharded_backend_requires_mesh(model, lm, example_wav):
+    rec = Recognizer(model=model, lm=lm)
+    with pytest.raises(ValueError, match="mesh"):
+        rec.update_decoder(backend="sharded")
+
+
+def test_recognize_long_form_matches_recognize(model, example_wav):
+    """Greedy long-form (time-sharded over the 8-CPU mesh) == one-shot."""
+    waveform = load_audio(example_wav)
+    rec = Recognizer(model=model)
+    one_shot = rec.recognize(waveform)
+    long_form = rec.recognize_long_form(waveform, mesh=make_mesh())
+    assert long_form == one_shot
