@@ -26,7 +26,8 @@ from .features.spectrogram import (
     SpectrogramAudioParser,
 )
 from .models import deepspeech as ds
-from .models.streaming import init_stream_state, streaming_step
+from .models import streaming
+from .models.streaming import streaming_step_masked
 from .ops import stft as stft_ops
 
 
@@ -285,9 +286,10 @@ class DanSpeechRecognizer:
             config = self.model.config
 
             @jax.jit
-            def run(params, spect_chunk, state):
-                return streaming_step(
-                    params, config, spect_chunk, state, is_first, is_last
+            def run(params, spect_chunk, t_valid, state):
+                return streaming_step_masked(
+                    params, config, spect_chunk, t_valid, state,
+                    is_first, is_last,
                 )
 
             self._stream_fns[key] = run
@@ -396,17 +398,33 @@ class DanSpeechRecognizer:
             if self.secondary_model is not None:
                 self.spectrograms.append(np.asarray(spect))
 
-            chunk = jnp.asarray(spect)[None, None, :, :]
-            if self._stream_state is None:
-                self._stream_state = init_stream_state(self.model.config)
-            probs, self._stream_state = self._stream_step_jit(is_first, is_last)(
-                self.model.params, chunk, self._stream_state
+            # bucket the chunk width so compilations are bounded by the
+            # bucket count, not the chunk-length distribution; the masked
+            # step (models/streaming.py) freezes state past t_valid
+            spect = np.asarray(spect, dtype=np.float32)
+            t_chunk = spect.shape[1]
+            t_padded = _bucket(
+                t_chunk + streaming.CHUNK_HEADROOM, self.CHUNK_BUCKET
             )
+            chunk = np.zeros((spect.shape[0], t_padded), np.float32)
+            chunk[:, :t_chunk] = spect
+            chunk = jnp.asarray(chunk)[None, None, :, :]
+
+            if self._stream_state is None:
+                buf_cap = _bucket(
+                    streaming.phys_rnn_frames(t_padded, is_first=True), 16
+                )
+                self._stream_state = streaming.init_stream_state_masked(
+                    self.model.config, buf_cap=buf_cap
+                )
+            probs, out_len, self._stream_state = self._stream_step_jit(
+                is_first, is_last
+            )(self._compute_params, chunk, t_chunk, self._stream_state)
 
             if is_first:
                 return ""
 
-            probs = np.asarray(probs)
+            probs = np.asarray(probs)[:, : int(out_len)]
             self.full_output.append(probs)
             decoded_out, _ = self.greedy_decoder.decode(probs)
             transcript = decoded_out[0][0]

@@ -244,24 +244,86 @@ def _gru_layer_pallas(
 
 
 def gru_layer_streaming(
-    x: jnp.ndarray, weights: GRUWeights, h0: jnp.ndarray
+    x: jnp.ndarray,
+    weights: GRUWeights,
+    h0: jnp.ndarray,
+    t_valid=None,
+    impl: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Unidirectional full-length GRU chunk step with carried hidden state.
+    """Unidirectional GRU chunk step with carried hidden state.
 
     Used by the streaming path (reference BatchRNNStream model.py:219-237):
-    no masking, hidden state threads across chunk calls. x is (T, B, I),
-    h0 is (B, H). Returns ((T, B, H), h_last).
+    hidden state threads across chunk calls. x is (T, B, I), h0 is (B, H).
+    Returns ((T, B, H), h_last).
+
+    ``t_valid`` (traced scalar) masks a zero-padded chunk: the hidden state
+    freezes and outputs are zeroed past the first ``t_valid`` steps, so the
+    engine can bucket chunk lengths to a few compiled shapes
+    (engine.CHUNK_BUCKET) instead of recompiling per chunk. ``impl`` picks
+    the recurrence engine like :func:`gru_layer` — on TPU backends the
+    Mosaic kernel (ops/pallas_gru.py) runs the latency-critical B=1 chunk
+    recurrence with weights and the carried h resident in VMEM.
     """
+    t_max, batch, _ = x.shape
+    mm_dtype = weights.w_ih.dtype
     gx = (
-        jnp.einsum("tbi,ik->tbk", x, weights.w_ih, preferred_element_type=jnp.float32)
-        + weights.b_ih
+        jnp.einsum(
+            "tbi,ik->tbk",
+            x.astype(mm_dtype),
+            weights.w_ih,
+            preferred_element_type=jnp.float32,
+        )
+        + weights.b_ih.astype(jnp.float32)
     )
 
-    def step(h, gx_t):
-        h_new = _gru_cell(h, gx_t, weights.w_hh, weights.b_hh)
-        return h_new, h_new
+    if impl == "auto":
+        import os
 
-    h_last, out = jax.lax.scan(step, h0, gx)
+        impl = os.environ.get("DANSPEECH_TPU_GRU_IMPL", "auto")
+    if impl == "auto":
+        from .pallas_gru import backend_supports_mosaic
+
+        impl = "pallas" if backend_supports_mosaic() else "xla"
+
+    if t_valid is None:
+        lengths = jnp.full((batch,), t_max, jnp.int32)
+    else:
+        lengths = jnp.broadcast_to(
+            jnp.asarray(t_valid, jnp.int32), (batch,)
+        )
+
+    if impl == "pallas":
+        from .pallas_gru import backend_supports_mosaic, gru_scan
+
+        out, h_last = gru_scan(
+            gx.astype(mm_dtype),
+            lengths,
+            weights.w_hh,
+            weights.b_hh,
+            h0.astype(jnp.float32),
+            reverse=False,
+            interpret=not backend_supports_mosaic(),
+        )
+        return out.astype(jnp.float32), h_last
+
+    if t_valid is None:
+        # unmasked fast path: no freeze bookkeeping
+        def step(h, gx_t):
+            h_new = _gru_cell(h, gx_t, weights.w_hh, weights.b_hh)
+            return h_new, h_new
+
+        h_last, out = jax.lax.scan(step, h0, gx)
+        return out, h_last
+
+    mask = (jnp.arange(t_max)[:, None] < lengths[None, :]).astype(jnp.float32)
+
+    def step(h, inputs):
+        gx_t, m_t = inputs
+        h_new = _gru_cell(h, gx_t, weights.w_hh, weights.b_hh)
+        m = m_t[:, None]
+        return m * h_new + (1.0 - m) * h, h_new * m
+
+    h_last, out = jax.lax.scan(step, h0, (gx, mask))
     return out, h_last
 
 
