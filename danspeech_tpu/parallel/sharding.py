@@ -1,12 +1,13 @@
-"""Parameter sharding rules: DP replication + tensor-parallel GRU/head.
+"""GSPMD parameter sharding rules for the *training* path: DP replication
++ model-axis sharding of the gate-stacked RNN weights and FC head.
 
-TP design (SURVEY §2.5 table): RNN weight matrices are gate-stacked with a
-trailing G·H dimension — sharding that dimension over the 'model' axis
-splits every gate evenly (G·H = G blocks of H, each divisible by the mesh),
-so the input projection, recurrent matmul, gate nonlinearities, and the new
-hidden state all stay sharded on H with a single psum per step inserted by
-XLA for the h @ w_hh contraction. The conv stack is replicated (tiny), the
-FC head shards on its input (hidden) dimension.
+These specs shard the trailing G·H dimension contiguously and let XLA
+propagate/reshard — adequate for the optimizer/memory-sharding use in
+train/step.py and the multi-chip dryrun. For *inference* TP use
+parallel/tp.py instead: it packs gate-ALIGNED layouts and places the
+collectives explicitly via shard_map (one small all_gather per recurrence
+step, or direction parallelism running whole local Pallas recurrences),
+rather than hoping GSPMD does something sensible inside the scan.
 """
 
 from __future__ import annotations

@@ -229,9 +229,10 @@ def _gru_layer_dirsharded(x, lengths, fwd_loc, bwd_loc, axis: str):
     reverse = shard == 1
 
     # each chip got its direction's weights via the P('model', ...) spec on
-    # the stacked (D=2, ...) arrays — here they arrive pre-selected
-    w_ih, w_hh = fwd_loc.w_ih, fwd_loc.w_hh
-    b_ih, b_hh = fwd_loc.b_ih, fwd_loc.b_hh
+    # the stacked (D=2, ...) arrays — the sharded leading axis arrives with
+    # local size 1
+    w_ih, w_hh = fwd_loc.w_ih[0], fwd_loc.w_hh[0]
+    b_ih, b_hh = fwd_loc.b_ih[0], fwd_loc.b_hh[0]
     del bwd_loc
 
     # the backward chain consumes the valid-reversed sequence
