@@ -222,8 +222,9 @@ def parse_kenlm_probing(data: bytes) -> KenLMProbingModel:
     has_vocab = data[_SANITY_SIZE + 12] != 0
     if model_type != MODEL_PROBING:
         raise ValueError(
-            f"KenLM model type {model_type} not supported (only PROBING=0; "
-            "trie models must be rebuilt with `build_binary probing`)"
+            f"KenLM model type {model_type} is not a probing binary — "
+            "trie binaries load via decode.kenlm_trie.load_kenlm_trie "
+            "(decode.lm.load_lm dispatches automatically)"
         )
     counts = [
         int(c)

@@ -155,16 +155,23 @@ def load_arpa(path: str) -> NgramLM:
 
 
 def load_lm(path: str) -> NgramLM:
-    """Load an LM by extension: .arpa(.gz) text or .klm/.bin KenLM binary."""
+    """Load an LM by extension: .arpa(.gz) text or .klm/.bin KenLM binary
+    (probing or trie data structure, auto-detected from the header)."""
     p = str(path)
     if p.endswith((".arpa", ".arpa.gz", ".lm", ".lm.gz")):
         return load_arpa(p)
     with open(p, "rb") as f:
-        magic = f.read(8)
-    if magic.startswith(b"mmap lm") or magic.startswith(b"mmap"):
-        from .kenlm_reader import load_kenlm_probing
+        header = f.read(100)
+    if header.startswith(b"mmap"):
+        # FixedWidthParameters.model_type at sanity(88) + 8
+        model_type = int.from_bytes(header[96:100], "little") if len(header) >= 100 else 0
+        if model_type == 0:  # PROBING
+            from .kenlm_reader import load_kenlm_probing
 
-        return load_kenlm_probing(p)
+            return load_kenlm_probing(p)
+        from .kenlm_trie import load_kenlm_trie
+
+        return load_kenlm_trie(p)
     # fall back to ARPA (files without extension)
     return load_arpa(p)
 
