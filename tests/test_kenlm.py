@@ -130,9 +130,11 @@ def test_rejects_wrong_magic(tmp_path):
 
 
 def test_trie_model_type_rejected(klm_path):
+    """The probing parser points trie binaries at the trie loader
+    (decode/kenlm_trie.py handles them; load_lm dispatches)."""
     data = bytearray(open(klm_path, "rb").read())
     data[88 + 8 : 88 + 12] = np.int32(2).tobytes()  # TRIE
-    with pytest.raises(ValueError, match="PROBING"):
+    with pytest.raises(ValueError, match="kenlm_trie"):
         parse_kenlm_probing(bytes(data))
 
 
