@@ -112,7 +112,14 @@ def main():
     eng_beam.transcribe_batch(sub)  # warm
     t0 = time.perf_counter()
     eng_beam.transcribe_batch(sub)
-    report(3, "beam64_lm3gram", sum(audio_s[:4]), time.perf_counter() - t0)
+    report(3, "beam64_lm3gram_host", sum(audio_s[:4]), time.perf_counter() - t0)
+
+    # --- config 3b: the same beam fused ON DEVICE (decode/device_lm.py) ----
+    eng_beam.update_decoder(backend="device")
+    eng_beam.transcribe_batch(sub)  # warm (compiles the beam scan)
+    t0 = time.perf_counter()
+    eng_beam.transcribe_batch(sub)
+    report(3.5, "beam64_lm3gram_device", sum(audio_s[:4]), time.perf_counter() - t0)
 
     # --- config 4: streaming chunked recognition ---------------------------
     stream_model = build_streaming()
