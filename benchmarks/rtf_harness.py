@@ -87,7 +87,7 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    eng = DanSpeechRecognizer(model=model)
+    eng = DanSpeechRecognizer(model_name=model)
 
     # --- config 1: single-utterance greedy ---------------------------------
     eng.transcribe(waves[2])  # warm
@@ -106,7 +106,7 @@ def main():
     # --- config 3: beam=64 with 3-gram LM ----------------------------------
     lm = _synthetic_3gram()
     eng_beam = DanSpeechRecognizer(
-        model=model, lm=lm, alpha=1.3, beta=0.2, beam_width=64
+        model_name=model, lm_name=lm, alpha=1.3, beta=0.2, beam_width=64
     )
     sub = waves[:4]
     eng_beam.transcribe_batch(sub)  # warm
@@ -123,7 +123,7 @@ def main():
 
     # --- config 4: streaming chunked recognition ---------------------------
     stream_model = build_streaming()
-    eng_s = DanSpeechRecognizer(model=stream_model)
+    eng_s = DanSpeechRecognizer(model_name=stream_model)
     eng_s.enable_streaming(secondary_model=None, return_string_parts=False)
     chunk = 16000  # 1 s chunks
     wav = waves[0]

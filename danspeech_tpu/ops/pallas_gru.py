@@ -260,6 +260,253 @@ def gru_scan_bidi(
     return out_f[:t_max], out_b[:t_max], hl_f, hl_b
 
 
+def _lstm_step_kernel(
+    gx_ref,  # (U, B, 4H) — x @ w_ih + b_ih
+    len_ref,  # (B, 1) int32
+    whh_ref,  # (H, 4H)
+    bhh_ref,  # (1, 4H) float32
+    h0_ref,  # (B, H) float32
+    c0_ref,  # (B, H) float32
+    out_ref,  # (U, B, H)
+    hlast_ref,  # (B, H)
+    clast_ref,  # (B, H)
+    h_scr,  # (B, H) VMEM
+    c_scr,  # (B, H) VMEM
+    *,
+    hidden: int,
+    reverse: bool,
+    unroll: int,
+):
+    """LSTM twin of _gru_step_kernel (torch gate order i, f, g, o)."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    block = (n_blocks - 1 - i) if reverse else i
+    base = block * unroll
+
+    @pl.when(i == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    h = h_scr[:]
+    c = c_scr[:]
+    lengths = len_ref[:]
+    for k in range(unroll):
+        kk = (unroll - 1 - k) if reverse else k
+        t = base + kk
+        gh = (
+            jnp.dot(
+                h.astype(whh_ref.dtype), whh_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + bhh_ref[:]
+        )
+        g = gx_ref[kk].astype(jnp.float32) + gh
+        gi = jax.nn.sigmoid(g[:, :hidden])
+        gf = jax.nn.sigmoid(g[:, hidden : 2 * hidden])
+        gg = jnp.tanh(g[:, 2 * hidden : 3 * hidden])
+        go = jax.nn.sigmoid(g[:, 3 * hidden :])
+        c_new = gf * c + gi * gg
+        h_new = go * jnp.tanh(c_new)
+
+        m = (lengths > t).astype(jnp.float32)
+        h = m * h_new + (1.0 - m) * h
+        c = m * c_new + (1.0 - m) * c
+        out_ref[kk] = (h_new * m).astype(out_ref.dtype)
+
+    h_scr[:] = h
+    c_scr[:] = c
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        hlast_ref[:] = h
+        clast_ref[:] = c
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "interpret", "unroll"))
+def lstm_scan(
+    gx: jnp.ndarray,  # (T, B, 4H) — precomputed input projection
+    lengths: jnp.ndarray,  # (B,) int32
+    w_hh: jnp.ndarray,  # (H, 4H)
+    b_hh: jnp.ndarray,  # (4H,)
+    h0: jnp.ndarray,  # (B, H) float32
+    c0: jnp.ndarray,  # (B, H) float32
+    reverse: bool = False,
+    interpret: bool = False,
+    unroll: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """LSTM recurrence in the Mosaic grid (same design as gru_scan: weights
+    VMEM-resident, h/c carried in scratch, bf16 gx/out streaming, packed
+    masking). Covers the reference's ``rnn_type='lstm'`` checkpoints
+    (model.py:14-18 supported_rnns) at kernel speed rather than lax.scan.
+
+    Returns (out, h_last, c_last).
+    """
+    t_max, batch, g4 = gx.shape
+    hidden = w_hh.shape[0]
+    assert g4 == 4 * hidden
+    seq_dtype = gx.dtype
+
+    unroll = max(1, min(unroll, t_max))
+    t_pad = -(-t_max // unroll) * unroll
+    if t_pad != t_max:
+        gx = jnp.pad(gx, ((0, t_pad - t_max), (0, 0), (0, 0)))
+    n_blocks = t_pad // unroll
+
+    time_ix = (
+        (lambda i: (n_blocks - 1 - i, 0, 0)) if reverse else (lambda i: (i, 0, 0))
+    )
+    const2 = lambda i: (0, 0)  # noqa: E731
+
+    out, h_last, c_last = pl.pallas_call(
+        functools.partial(
+            _lstm_step_kernel, hidden=hidden, reverse=reverse, unroll=unroll
+        ),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((unroll, batch, 4 * hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, 4 * hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((unroll, batch, hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, batch, hidden), seq_dtype),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((batch, hidden), jnp.float32),
+            pltpu.VMEM((batch, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * batch * hidden * 4 * hidden,
+            bytes_accessed=(
+                gx.size * seq_dtype.itemsize
+                + w_hh.size * w_hh.dtype.itemsize
+                + t_pad * batch * hidden * seq_dtype.itemsize
+            ),
+            transcendentals=5 * t_pad * batch * hidden,
+        ),
+    )(
+        gx,
+        lengths.astype(jnp.int32).reshape(batch, 1),
+        w_hh,
+        b_hh.astype(jnp.float32).reshape(1, 4 * hidden),
+        h0.astype(jnp.float32),
+        c0.astype(jnp.float32),
+    )
+    return out[:t_max], h_last, c_last
+
+
+def _rnn_tanh_step_kernel(
+    gx_ref,  # (U, B, H)
+    len_ref,  # (B, 1)
+    whh_ref,  # (H, H)
+    out_ref,  # (U, B, H)
+    hlast_ref,  # (B, H)
+    h_scr,  # (B, H)
+    *,
+    reverse: bool,
+    unroll: int,
+):
+    """Vanilla tanh RNN recurrence (bias pre-added into gx by the caller)."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    block = (n_blocks - 1 - i) if reverse else i
+    base = block * unroll
+
+    @pl.when(i == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    h = h_scr[:]
+    lengths = len_ref[:]
+    for k in range(unroll):
+        kk = (unroll - 1 - k) if reverse else k
+        t = base + kk
+        gh = jnp.dot(
+            h.astype(whh_ref.dtype), whh_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        h_new = jnp.tanh(gx_ref[kk].astype(jnp.float32) + gh)
+        m = (lengths > t).astype(jnp.float32)
+        h = m * h_new + (1.0 - m) * h
+        out_ref[kk] = (h_new * m).astype(out_ref.dtype)
+
+    h_scr[:] = h
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        hlast_ref[:] = h
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "interpret", "unroll"))
+def rnn_tanh_scan(
+    gx: jnp.ndarray,  # (T, B, H) — x @ w_ih + b_ih + b_hh
+    lengths: jnp.ndarray,
+    w_hh: jnp.ndarray,  # (H, H)
+    reverse: bool = False,
+    interpret: bool = False,
+    unroll: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Vanilla tanh RNN recurrence in the Mosaic grid (``rnn_type='rnn'``)."""
+    t_max, batch, hidden = gx.shape
+    assert hidden == w_hh.shape[0]
+    seq_dtype = gx.dtype
+
+    unroll = max(1, min(unroll, t_max))
+    t_pad = -(-t_max // unroll) * unroll
+    if t_pad != t_max:
+        gx = jnp.pad(gx, ((0, t_pad - t_max), (0, 0), (0, 0)))
+    n_blocks = t_pad // unroll
+
+    time_ix = (
+        (lambda i: (n_blocks - 1 - i, 0, 0)) if reverse else (lambda i: (i, 0, 0))
+    )
+    const2 = lambda i: (0, 0)  # noqa: E731
+
+    out, h_last = pl.pallas_call(
+        functools.partial(_rnn_tanh_step_kernel, reverse=reverse, unroll=unroll),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((unroll, batch, hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, hidden), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((unroll, batch, hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, batch, hidden), seq_dtype),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((batch, hidden), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(
+        gx,
+        lengths.astype(jnp.int32).reshape(batch, 1),
+        w_hh,
+    )
+    return out[:t_max], h_last
+
+
 def backend_supports_mosaic() -> bool:
     """True when the default backend compiles Pallas TPU kernels natively."""
     try:

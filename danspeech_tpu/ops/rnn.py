@@ -334,18 +334,71 @@ class LSTMWeights(NamedTuple):
     b_hh: jnp.ndarray  # (4H,)
 
 
+def _resolve_impl(impl: str) -> str:
+    if impl == "auto":
+        import os
+
+        impl = os.environ.get("DANSPEECH_TPU_GRU_IMPL", "auto")
+    if impl == "auto":
+        from .pallas_gru import backend_supports_mosaic
+
+        impl = "pallas" if backend_supports_mosaic() else "xla"
+    return impl
+
+
 def lstm_layer(
     x: jnp.ndarray,
     lengths: jnp.ndarray,
     fwd: LSTMWeights,
     bwd: LSTMWeights | None = None,
     sum_directions: bool = True,
+    impl: str = "auto",
 ):
     """Bidirectional-capable LSTM layer (torch gate order i, f, g, o).
 
     Supports the reference's ``rnn_type='lstm'`` checkpoints
-    (model.py:14-18 supported_rnns).
+    (model.py:14-18 supported_rnns). ``impl`` dispatches like
+    :func:`gru_layer`: the Mosaic kernel (ops/pallas_gru.lstm_scan) on TPU
+    backends, lax.scan elsewhere.
     """
+    if _resolve_impl(impl) == "pallas":
+        from .pallas_gru import backend_supports_mosaic, lstm_scan
+
+        interpret = not backend_supports_mosaic()
+        t_max, batch, _ = x.shape
+        hidden = fwd.w_hh.shape[0]
+        mm_dtype = fwd.w_ih.dtype
+        h0 = jnp.zeros((batch, hidden), jnp.float32)
+        c0 = jnp.zeros((batch, hidden), jnp.float32)
+
+        def project(wts):
+            return (
+                jnp.einsum(
+                    "tbi,ik->tbk",
+                    x.astype(mm_dtype),
+                    wts.w_ih,
+                    preferred_element_type=jnp.float32,
+                )
+                + wts.b_ih.astype(jnp.float32)
+            ).astype(mm_dtype)
+
+        out_f, _, _ = lstm_scan(
+            project(fwd), lengths, fwd.w_hh, fwd.b_hh, h0, c0,
+            reverse=False, interpret=interpret,
+        )
+        out_f = out_f.astype(jnp.float32)
+        if bwd is None:
+            return out_f
+        out_b, _, _ = lstm_scan(
+            project(bwd), lengths, bwd.w_hh, bwd.b_hh, h0, c0,
+            reverse=True, interpret=interpret,
+        )
+        out_b = out_b.astype(jnp.float32)
+        return (
+            out_f + out_b
+            if sum_directions
+            else jnp.concatenate([out_f, out_b], -1)
+        )
     t_max, batch, _ = x.shape
     hidden = fwd.w_hh.shape[0]
     directions = [fwd] if bwd is None else [fwd, bwd]
@@ -409,8 +462,42 @@ def rnn_tanh_layer(
     fwd: RNNWeights,
     bwd: RNNWeights | None = None,
     sum_directions: bool = True,
+    impl: str = "auto",
 ):
-    """Vanilla tanh RNN layer (reference ``rnn_type='rnn'``)."""
+    """Vanilla tanh RNN layer (reference ``rnn_type='rnn'``). ``impl``
+    dispatches like :func:`gru_layer` (Mosaic kernel on TPU backends)."""
+    if _resolve_impl(impl) == "pallas":
+        from .pallas_gru import backend_supports_mosaic, rnn_tanh_scan
+
+        interpret = not backend_supports_mosaic()
+        mm_dtype = fwd.w_ih.dtype
+
+        def project(wts):
+            return (
+                jnp.einsum(
+                    "tbi,ik->tbk",
+                    x.astype(mm_dtype),
+                    wts.w_ih,
+                    preferred_element_type=jnp.float32,
+                )
+                + (wts.b_ih + wts.b_hh).astype(jnp.float32)
+            ).astype(mm_dtype)
+
+        out_f, _ = rnn_tanh_scan(
+            project(fwd), lengths, fwd.w_hh, reverse=False, interpret=interpret
+        )
+        out_f = out_f.astype(jnp.float32)
+        if bwd is None:
+            return out_f
+        out_b, _ = rnn_tanh_scan(
+            project(bwd), lengths, bwd.w_hh, reverse=True, interpret=interpret
+        )
+        out_b = out_b.astype(jnp.float32)
+        return (
+            out_f + out_b
+            if sum_directions
+            else jnp.concatenate([out_f, out_b], -1)
+        )
     t_max, batch, _ = x.shape
     hidden = fwd.w_hh.shape[0]
     directions = [fwd] if bwd is None else [fwd, bwd]
