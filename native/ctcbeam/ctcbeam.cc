@@ -244,20 +244,29 @@ struct KenLMTables {
 // Prefix trie beams
 // ---------------------------------------------------------------------------
 
+struct BeamVal {
+  double log_pb = kNegInf;
+  double log_pnb = kNegInf;
+  double total() const { return LogAddExp(log_pb, log_pnb); }
+};
+
 struct TrieNode {
   TrieNode* parent = nullptr;
   int32_t character = -1;  // -1 = root
   int32_t depth = 0;
   int32_t time = -1;  // frame at which this char was emitted (best path)
   double time_score = kNegInf;
+  // children stored in-node (small linear-scan vector: the branching
+  // factor is <= num_classes and typically tiny) — one pointer chase per
+  // extension instead of two hash lookups in a side table.
+  std::vector<std::pair<int32_t, TrieNode*>> kids;
+  // per-frame candidate accumulator, epoch-stamped so no per-frame hash
+  // map is built or cleared (the former unordered_map<TrieNode*, BeamVal>
+  // dominated the frame loop)
+  int32_t epoch = -1;
+  BeamVal acc;
   // LM bookkeeping: word ids completed so far + partial-word chars
   // materialized lazily when scoring.
-};
-
-struct BeamVal {
-  double log_pb = kNegInf;
-  double log_pnb = kNegInf;
-  double total() const { return LogAddExp(log_pb, log_pnb); }
 };
 
 struct Decoder {
@@ -383,19 +392,22 @@ void DecodeOne(const Decoder& dec, const float* probs, int t_max,
 
   LMScorer scorer{&dec, {}, {}};
 
-  std::unordered_map<TrieNode*, std::unordered_map<int32_t, TrieNode*>>
-      children;
-
   auto child = [&](TrieNode* parent, int32_t c, int t,
                    double score) -> TrieNode* {
-    auto& slot = children[parent][c];
+    TrieNode* slot = nullptr;
+    for (auto& kv : parent->kids) {
+      if (kv.first == c) {
+        slot = kv.second;
+        break;
+      }
+    }
     if (slot == nullptr) {
       arena.emplace_back();
-      TrieNode* n = &arena.back();
-      n->parent = parent;
-      n->character = c;
-      n->depth = parent->depth + 1;
-      slot = n;
+      slot = &arena.back();
+      slot->parent = parent;
+      slot->character = c;
+      slot->depth = parent->depth + 1;
+      parent->kids.emplace_back(c, slot);
     }
     if (score > slot->time_score) {
       slot->time_score = score;
@@ -404,13 +416,23 @@ void DecodeOne(const Decoder& dec, const float* probs, int t_max,
     return slot;
   };
 
-  std::unordered_map<TrieNode*, BeamVal> beams;
-  beams[root] = BeamVal{0.0, kNegInf};
+  std::vector<PrefixState> beams;
+  beams.push_back({root, BeamVal{0.0, kNegInf}});
 
   std::vector<Candidate> cands;
   cands.reserve(dec.num_classes);
 
-  std::unordered_map<TrieNode*, BeamVal> next;
+  // frame-local candidate set: epoch-stamped accumulators on the nodes
+  std::vector<TrieNode*> touched;
+  touched.reserve(1024);
+  auto accum = [&](TrieNode* n, int t) -> BeamVal& {
+    if (n->epoch != t) {
+      n->epoch = t;
+      n->acc = BeamVal{};
+      touched.push_back(n);
+    }
+    return n->acc;
+  };
 
   for (int t = 0; t < t_max; ++t) {
     const float* row = probs + static_cast<size_t>(t) * dec.num_classes;
@@ -438,10 +460,10 @@ void DecodeOne(const Decoder& dec, const float* probs, int t_max,
       cands.resize(keep);
     }
 
-    next.clear();
-    for (auto& kv : beams) {
-      TrieNode* prefix = kv.first;
-      const BeamVal& val = kv.second;
+    touched.clear();
+    for (auto& ps : beams) {
+      TrieNode* prefix = ps.node;
+      const BeamVal& val = ps.val;
       double total = val.total();
       int32_t last = prefix->character;  // -1 at root
 
@@ -449,17 +471,17 @@ void DecodeOne(const Decoder& dec, const float* probs, int t_max,
         int c = cd.cls;
         double p = cd.log_p;
         if (c == dec.blank) {
-          BeamVal& nb = next[prefix];
+          BeamVal& nb = accum(prefix, t);
           nb.log_pb = LogAddExp(nb.log_pb, total + p);
         } else if (c == last) {
-          BeamVal& nb = next[prefix];
+          BeamVal& nb = accum(prefix, t);
           nb.log_pnb = LogAddExp(nb.log_pnb, val.log_pnb + p);
           double score = val.log_pb + p;
           if (dec.has_lm && c == dec.space) {
             score += scorer.ScoreBoundary(prefix);
           }
           TrieNode* ext = child(prefix, c, t, score);
-          BeamVal& ne = next[ext];
+          BeamVal& ne = accum(ext, t);
           ne.log_pnb = LogAddExp(ne.log_pnb, score);
         } else {
           double score = total + p;
@@ -467,31 +489,34 @@ void DecodeOne(const Decoder& dec, const float* probs, int t_max,
             score += scorer.ScoreBoundary(prefix);
           }
           TrieNode* ext = child(prefix, c, t, score);
-          BeamVal& ne = next[ext];
+          BeamVal& ne = accum(ext, t);
           ne.log_pnb = LogAddExp(ne.log_pnb, score);
         }
       }
     }
 
-    // prune to beam width
-    std::vector<std::pair<TrieNode*, BeamVal>> sorted(next.begin(), next.end());
-    std::sort(sorted.begin(), sorted.end(),
-              [](const auto& a, const auto& b) {
-                return a.second.total() > b.second.total();
-              });
-    if (static_cast<int>(sorted.size()) > dec.beam_width) {
-      sorted.resize(dec.beam_width);
+    // prune to beam width: order within the surviving front doesn't matter
+    // mid-stream (only the final results are rank-sorted), so an O(n)
+    // nth_element selection replaces the former full O(n log n) sort of
+    // the ~W*C candidate map every frame
+    if (static_cast<int>(touched.size()) > dec.beam_width) {
+      std::nth_element(touched.begin(), touched.begin() + dec.beam_width,
+                       touched.end(),
+                       [](const TrieNode* a, const TrieNode* b) {
+                         return a->acc.total() > b->acc.total();
+                       });
+      touched.resize(dec.beam_width);
     }
     beams.clear();
-    for (auto& kv : sorted) beams.insert(kv);
+    for (TrieNode* n : touched) beams.push_back({n, n->acc});
   }
 
   results->clear();
   results->reserve(beams.size());
   std::vector<int32_t> labels;
-  for (auto& kv : beams) {
-    TrieNode* prefix = kv.first;
-    double score = kv.second.total();
+  for (auto& ps : beams) {
+    TrieNode* prefix = ps.node;
+    double score = ps.val.total();
     if (dec.has_lm && prefix->character >= 0 &&
         prefix->character != dec.space) {
       score += scorer.ScoreBoundary(prefix);
