@@ -69,7 +69,19 @@ def bench_tpu(waves, iters: int = 10):
     from danspeech_tpu.ops import stft as stft_ops
 
     config = DeepSpeechConfig(**FLAGSHIP)
-    params = ds.cast_matmul_weights(ds.init_params(config, seed=0))
+    # Serving init path: materialize the checkpoint on disk and load it
+    # back through the importer, so the bench exercises the same
+    # checkpoint -> pytree -> bf16-cast pipeline a real deployment runs
+    # (not just in-memory random params).
+    import tempfile
+
+    from danspeech_tpu.models.checkpoint import load_checkpoint, save_checkpoint
+
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        ckpt = os.path.join(td, "flagship.dsz")
+        save_checkpoint(ckpt, config, ds.init_params(config, seed=0))
+        config, params = load_checkpoint(ckpt)
+    params = ds.cast_matmul_weights(params)
     parser = SpectrogramAudioParser(config.audio_conf)
 
     # Group clips into length buckets; each bucket runs as its own full
