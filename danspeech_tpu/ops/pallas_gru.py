@@ -34,10 +34,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _gru_step_kernel(
-    gx_ref,  # (U, B, 3H) gx dtype — x @ w_ih + b_ih for U timesteps
+    gx_ref,  # (U, B, 3H) gx dtype — x @ w_ih (bias-free) for U timesteps
     len_ref,  # (B, 1) int32 — sequence lengths
     whh_ref,  # (H, 3H) weights dtype
     bhh_ref,  # (1, 3H) float32
+    bih_ref,  # (1, 3H) float32 — added to gx in-kernel (NOT merged into
+    #            bhh: torch keeps b_hh_n inside the reset product and
+    #            b_ih_n outside), so the projection einsum writes bf16
+    #            directly with no f32 bias pass over the (T, B, 3H) tensor
     h0_ref,  # (B, H) float32
     out_ref,  # (U, B, H) float32
     hlast_ref,  # (B, H) float32
@@ -69,7 +73,7 @@ def _gru_step_kernel(
             )
             + bhh_ref[:]
         )
-        gx = gx_ref[kk].astype(jnp.float32)  # bf16 streams at half HBM cost
+        gx = gx_ref[kk].astype(jnp.float32) + bih_ref[:]  # bf16 stream
         r = jax.nn.sigmoid(gx[:, :hidden] + gh[:, :hidden])
         z = jax.nn.sigmoid(
             gx[:, hidden : 2 * hidden] + gh[:, hidden : 2 * hidden]
@@ -90,13 +94,15 @@ def _gru_step_kernel(
 
 
 def _gru_bidi_step_kernel(
-    gxf_ref,  # (U, B, 3H) float32 — fwd input projection, natural time
-    gxb_ref,  # (U, B, 3H) float32 — bwd input projection, natural time
+    gxf_ref,  # (U, B, 3H) — fwd input projection (bias-free), natural time
+    gxb_ref,  # (U, B, 3H) — bwd input projection (bias-free), natural time
     len_ref,  # (B, 1) int32
     whf_ref,  # (H, 3H)
     whb_ref,  # (H, 3H)
     bhf_ref,  # (1, 3H)
     bhb_ref,  # (1, 3H)
+    bif_ref,  # (1, 3H) float32 — b_ih added in-kernel (see _gru_step_kernel)
+    bib_ref,  # (1, 3H) float32
     h0f_ref,  # (B, H)
     h0b_ref,  # (B, H)
     outf_ref,  # (U, B, H)
@@ -132,8 +138,8 @@ def _gru_bidi_step_kernel(
     base_f = i * unroll
     base_b = (n_blocks - 1 - i) * unroll
 
-    def cell(h, gx, wh_ref, bh_ref, t):
-        gx = gx.astype(jnp.float32)
+    def cell(h, gx, wh_ref, bh_ref, bi_ref, t):
+        gx = gx.astype(jnp.float32) + bi_ref[:]
         gh = (
             jnp.dot(h.astype(wh_ref.dtype), wh_ref[:], preferred_element_type=jnp.float32)
             + bh_ref[:]
@@ -147,8 +153,8 @@ def _gru_bidi_step_kernel(
 
     for k in range(unroll):
         kb = unroll - 1 - k  # backward chain walks its block in reverse
-        h_f, out_f = cell(h_f, gxf_ref[k], whf_ref, bhf_ref, base_f + k)
-        h_b, out_b = cell(h_b, gxb_ref[kb], whb_ref, bhb_ref, base_b + kb)
+        h_f, out_f = cell(h_f, gxf_ref[k], whf_ref, bhf_ref, bif_ref, base_f + k)
+        h_b, out_b = cell(h_b, gxb_ref[kb], whb_ref, bhb_ref, bib_ref, base_b + kb)
         outf_ref[k] = out_f.astype(outf_ref.dtype)
         outb_ref[kb] = out_b.astype(outb_ref.dtype)
 
@@ -174,6 +180,8 @@ def gru_scan_bidi(
     h0_b: jnp.ndarray,
     interpret: bool = False,
     unroll: int = 1,
+    b_ih_f: jnp.ndarray | None = None,
+    b_ih_b: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused bidirectional GRU recurrence: both chains in one grid.
 
@@ -181,6 +189,11 @@ def gru_scan_bidi(
     semantics as :func:`gru_scan` (masking freezes h and zeroes outputs past
     each row's length; the backward chain consumes natural-time gx through
     reversed index maps, so no reversed copy is materialized).
+
+    ``b_ih_*``, when given, are added to gx inside the kernel — the caller
+    then feeds a *bias-free* bf16 projection, skipping a whole f32
+    read+write pass over the (T, B, 3H) tensors (the projection einsum was
+    measured slower than this entire kernel because of that pass).
     """
     t_max, batch, g3 = gx_f.shape
     hidden = w_hh_f.shape[0]
@@ -211,6 +224,8 @@ def gru_scan_bidi(
             pl.BlockSpec((batch, 1), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, 3 * hidden), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, 3 * hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * hidden), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * hidden), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * hidden), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
@@ -254,6 +269,12 @@ def gru_scan_bidi(
         w_hh_b,
         b_hh_f.astype(jnp.float32).reshape(1, 3 * hidden),
         b_hh_b.astype(jnp.float32).reshape(1, 3 * hidden),
+        (jnp.zeros((3 * hidden,)) if b_ih_f is None else b_ih_f)
+        .astype(jnp.float32)
+        .reshape(1, 3 * hidden),
+        (jnp.zeros((3 * hidden,)) if b_ih_b is None else b_ih_b)
+        .astype(jnp.float32)
+        .reshape(1, 3 * hidden),
         h0_f.astype(jnp.float32),
         h0_b.astype(jnp.float32),
     )
@@ -526,6 +547,7 @@ def gru_scan(
     reverse: bool = False,
     interpret: bool = False,
     unroll: int = 1,
+    b_ih: jnp.ndarray | None = None,  # added to gx in-kernel when given
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run the GRU recurrence over precomputed gates.
 
@@ -569,6 +591,7 @@ def gru_scan(
             pl.BlockSpec((batch, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, 3 * hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((batch, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -600,6 +623,9 @@ def gru_scan(
         lengths.astype(jnp.int32).reshape(batch, 1),
         w_hh,
         b_hh.astype(jnp.float32).reshape(1, 3 * hidden),
+        (jnp.zeros((3 * hidden,)) if b_ih is None else b_ih)
+        .astype(jnp.float32)
+        .reshape(1, 3 * hidden),
         h0.astype(jnp.float32),
     )
     return out[:t_max], h_last

@@ -199,41 +199,25 @@ def _gru_layer_pallas(
         h0_b = h0[-1].astype(jnp.float32)
 
     if bwd is None:
-        gx = (
-            jnp.einsum(
-                "tbi,ik->tbk",
-                x.astype(mm_dtype),
-                fwd.w_ih,
-                preferred_element_type=jnp.float32,
-            )
-            + fwd.b_ih.astype(jnp.float32)
-        )
+        # bias-free projection straight to the stream dtype (b_ih is added
+        # in-kernel): skips a full f32 write+read pass over (T, B, 3H) —
+        # measured slower than the whole recurrence kernel when present
+        gx = jnp.einsum("tbi,ik->tbk", x.astype(mm_dtype), fwd.w_ih)
         out_f, hl_f = gru_scan(
-            # bf16 weights -> bf16 gx/out streams (half the HBM traffic of
-            # the RNN stack's dominant tensors; gate adds stay f32 in-kernel)
-            gx.astype(mm_dtype), lengths, fwd.w_hh, fwd.b_hh, h0_f,
-            reverse=False, interpret=interpret,
+            gx, lengths, fwd.w_hh, fwd.b_hh, h0_f,
+            reverse=False, interpret=interpret, b_ih=fwd.b_ih,
         )
         return out_f.astype(jnp.float32), hl_f[None]
 
-    # one MXU matmul feeds both chains: (T·B, I) x (I, 6H)
+    # one MXU matmul feeds both chains: (T·B, I) x (I, 6H), bias-free (the
+    # kernel adds b_ih), output in the stream dtype directly
     w_ih2 = jnp.concatenate([fwd.w_ih, bwd.w_ih], axis=1)
-    b_ih2 = jnp.concatenate([fwd.b_ih, bwd.b_ih])
-    gx2 = (
-        jnp.einsum(
-            "tbi,ik->tbk",
-            x.astype(mm_dtype),
-            w_ih2,
-            preferred_element_type=jnp.float32,
-        )
-        + b_ih2.astype(jnp.float32)
-    )
+    gx2 = jnp.einsum("tbi,ik->tbk", x.astype(mm_dtype), w_ih2)
     g3 = 3 * hidden
-    gx2 = gx2.astype(mm_dtype)  # bf16 streaming (see single-direction note)
     out_f, out_b, hl_f, hl_b = gru_scan_bidi(
         gx2[..., :g3], gx2[..., g3:], lengths,
         fwd.w_hh, bwd.w_hh, fwd.b_hh, bwd.b_hh, h0_f, h0_b,
-        interpret=interpret,
+        interpret=interpret, b_ih_f=fwd.b_ih, b_ih_b=bwd.b_ih,
     )
     out_f = out_f.astype(jnp.float32)
     out_b = out_b.astype(jnp.float32)
@@ -266,15 +250,6 @@ def gru_layer_streaming(
     """
     t_max, batch, _ = x.shape
     mm_dtype = weights.w_ih.dtype
-    gx = (
-        jnp.einsum(
-            "tbi,ik->tbk",
-            x.astype(mm_dtype),
-            weights.w_ih,
-            preferred_element_type=jnp.float32,
-        )
-        + weights.b_ih.astype(jnp.float32)
-    )
 
     if impl == "auto":
         import os
@@ -295,16 +270,29 @@ def gru_layer_streaming(
     if impl == "pallas":
         from .pallas_gru import backend_supports_mosaic, gru_scan
 
+        # bias-free projection in the stream dtype; b_ih added in-kernel
+        gx = jnp.einsum("tbi,ik->tbk", x.astype(mm_dtype), weights.w_ih)
         out, h_last = gru_scan(
-            gx.astype(mm_dtype),
+            gx,
             lengths,
             weights.w_hh,
             weights.b_hh,
             h0.astype(jnp.float32),
             reverse=False,
             interpret=not backend_supports_mosaic(),
+            b_ih=weights.b_ih,
         )
         return out.astype(jnp.float32), h_last
+
+    gx = (
+        jnp.einsum(
+            "tbi,ik->tbk",
+            x.astype(mm_dtype),
+            weights.w_ih,
+            preferred_element_type=jnp.float32,
+        )
+        + weights.b_ih.astype(jnp.float32)
+    )
 
     if t_valid is None:
         # unmasked fast path: no freeze bookkeeping

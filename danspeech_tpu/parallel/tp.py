@@ -237,19 +237,11 @@ def _gru_layer_dirsharded(x, lengths, fwd_loc, bwd_loc, axis: str):
 
     # the backward chain consumes the valid-reversed sequence
     x_dir = jnp.where(reverse, _reverse_valid(x, lengths), x)
-    gx = (
-        jnp.einsum(
-            "tbi,ik->tbk",
-            x_dir.astype(mm_dtype),
-            w_ih,
-            preferred_element_type=jnp.float32,
-        )
-        + b_ih.astype(jnp.float32)
-    )
+    gx = jnp.einsum("tbi,ik->tbk", x_dir.astype(mm_dtype), w_ih)
     h0 = jnp.zeros((batch, w_hh.shape[0]), jnp.float32)
     out, _ = gru_scan(
-        gx.astype(mm_dtype), lengths, w_hh, b_hh, h0,
-        reverse=False, interpret=not backend_supports_mosaic(),
+        gx, lengths, w_hh, b_hh, h0,
+        reverse=False, interpret=not backend_supports_mosaic(), b_ih=b_ih,
     )
     out = out.astype(jnp.float32)
     out = jnp.where(reverse, _reverse_valid(out, lengths), out)
