@@ -300,7 +300,13 @@ class DanSpeechRecognizer:
     # ------------------------------------------------------------------
 
     def _run_acoustic_batch(self, recordings: list[np.ndarray]):
-        """Waveforms -> (probs (B, T, C) ndarray, out_lengths ndarray)."""
+        """Waveforms -> (probs (B, T, C), out_lengths ndarray).
+
+        ``probs`` stays a device array: the greedy decoder argmaxes it on
+        device (only the (B, T) path ids cross to host) and the device/
+        sharded beam decoders consume it in place; host decoders call
+        np.asarray themselves.
+        """
         if self.model is None:
             raise ModelNotInitialized("No acoustic model loaded")
         lengths = np.array([len(r) for r in recordings], dtype=np.int32)
@@ -311,7 +317,7 @@ class DanSpeechRecognizer:
         probs, out_lens = self._forward_jit()(
             self._compute_params, jnp.asarray(batch), jnp.asarray(lengths)
         )
-        return np.asarray(probs), np.asarray(out_lens)
+        return probs, np.asarray(out_lens)
 
     def transcribe(self, recording, show_all: bool = False):
         """One-shot transcription of a waveform (reference :218-231)."""
