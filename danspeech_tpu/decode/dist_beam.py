@@ -30,11 +30,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .device_beam import (
     NEG_INF,
-    _logaddexp,
     expand_candidates,
     merge_top_w,
 )
