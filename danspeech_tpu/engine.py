@@ -75,26 +75,25 @@ class DanSpeechRecognizer:
         self.labels = None
         self.audio_config = None
         self.audio_parser = None
-        if model_name:
-            self.update_model(model_name)
-
+        # decoder state must exist before update_model (it rebuilds the
+        # decoder for the new labels)
+        self.lm = None
+        self.decoder = None
         self.alpha = alpha
         self.beta = beta
         self.beam_width = beam_width
+
+        if model_name:
+            self.update_model(model_name)
 
         if lm_name:
             if not self.model:
                 raise ModelNotInitialized(
                     "Trying to initialize LM without also choosing an acoustic model."
                 )
-            self.lm = None
-            self.decoder = None
             self.update_decoder(lm_name)
-        else:
-            self.lm = None
-            self.decoder = None
-            if self.model:
-                self.update_decoder(labels=self.labels)
+        elif self.model:
+            self.update_decoder(labels=self.labels)
 
         # streaming state
         self.secondary_model = None
