@@ -51,9 +51,19 @@ def _random_lm(rng, order=3, n_words=30, max_len=5):
     return lm, words
 
 
-def test_score_word_ids_matches_host():
+@pytest.mark.parametrize("order", [2, 3, 5])
+def test_score_word_ids_matches_host(order):
     rng = np.random.default_rng(0)
-    lm, words = _random_lm(rng, order=3)
+    lm, words = _random_lm(rng, order=order)
+    if order >= 4:  # add some high-order n-grams (zoo ships 5-grams)
+        ids = list(range(len(lm.words)))
+        for _ in range(60):
+            tup = tuple(lm.words[i] for i in rng.choice(ids, order))
+            lm.add_ngram(tup, float(rng.uniform(-2, -0.1)))
+        for _ in range(60):
+            tup = tuple(lm.words[i] for i in rng.choice(ids, order - 1))
+            if tup not in lm.tables[order - 2]:
+                lm.add_ngram(tup, float(rng.uniform(-2, -0.1)), float(rng.uniform(-1, 0)))
     dlm = pack_device_lm(lm, LABELS)
 
     ctxs, wids, expected = [], [], []
