@@ -75,3 +75,39 @@ timeit("NCHW f32", jax.jit(lambda x, w: stack_nchw(x, w, jnp.float32)), x0, weig
 timeit("NCHW bf16", jax.jit(lambda x, w: stack_nchw(x, w, jnp.bfloat16)), x0, weights)
 timeit("NHWC f32", jax.jit(lambda x, w: stack_nhwc(x, w, jnp.float32)), x0, weights)
 timeit("NHWC bf16", jax.jit(lambda x, w: stack_nhwc(x, w, jnp.bfloat16)), x0, weights)
+
+
+def per_layer_and_banded():
+    """Per-conv-layer split + banded-matmul conv1 candidate."""
+    from danspeech_tpu.ops.conv import conv2d, conv2d_banded_cin1
+
+    xs = [x0]
+    for w, s in zip(weights, SPECS):
+        xs.append(
+            jax.jit(
+                lambda xx, ww, s=s: jax.lax.conv_general_dilated(
+                    xx.astype(jnp.bfloat16), ww.astype(jnp.bfloat16),
+                    window_strides=s["s"],
+                    padding=[(s["p"][0], s["p"][0]), (s["p"][1], s["p"][1])],
+                    dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                    preferred_element_type=jnp.float32,
+                )
+            )(xs[-1], w)
+        )
+    for i, (w, s) in enumerate(zip(weights, SPECS)):
+        fn = jax.jit(
+            lambda xx, ww, s=s: conv2d(
+                xx.astype(jnp.float32), ww.astype(jnp.bfloat16), None, s["s"], s["p"]
+            )
+        )
+        timeit(f"conv{i+1} direct bf16", fn, xs[i], w)
+    fn_banded = jax.jit(
+        lambda xx, ww: conv2d_banded_cin1(
+            xx, ww.astype(jnp.bfloat16), None, SPECS[0]["s"], SPECS[0]["p"]
+        )
+    )
+    timeit("conv1 banded-matmul bf16", fn_banded, x0, weights[0])
+
+
+if os.environ.get("CONV_PROBE_SPLIT"):
+    per_layer_and_banded()

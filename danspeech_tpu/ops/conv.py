@@ -56,6 +56,62 @@ def conv2d(
     return out
 
 
+def conv2d_banded_cin1(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    stride: tuple[int, int],
+    padding: tuple[int, int],
+) -> jnp.ndarray:
+    """C_in=1 Conv2d recast as one dense banded matmul.
+
+    The first DS2 conv has a single input channel, which starves the MXU's
+    contraction dimension in a direct convolution. Instead: unfold the
+    small time-kernel taps into KT strided views and fold the freq kernel
+    into a banded (KT·F_pad, F_out·O) matrix, so the whole layer is a
+    single (B·T_out, KT·F_pad) x (KT·F_pad, F_out·O) MXU matmul —
+    ~5x more FLOPs (the band's zeros) but dense and tiled. Numerically
+    identical to :func:`conv2d` (pinned in tests/test_conv_banded.py);
+    whether it wins is measured on-chip (benchmarks/conv_layout_probe.py).
+    """
+    b, cin, f, t = x.shape
+    assert cin == 1, "banded form only applies to the C_in=1 first conv"
+    o, _, kf, kt = weight.shape
+    sf, st = stride
+    pf, pt = padding
+    f_out = (f + 2 * pf - kf) // sf + 1
+    t_out = (t + 2 * pt - kt) // st + 1
+    fp = f + 2 * pf
+
+    xpad = jnp.pad(x[:, 0], ((0, 0), (pf, pf), (pt, pt)))  # (B, Fp, Tp)
+
+    # banded matrix: M[ktap, fi, f', oc] = w[oc, 0, fi - sf*f', ktap]
+    fi = jnp.arange(fp)[:, None]
+    fo = sf * jnp.arange(f_out)[None, :]
+    kf_idx = fi - fo  # (Fp, F_out)
+    valid = (kf_idx >= 0) & (kf_idx < kf)
+    w_g = weight[:, 0, jnp.clip(kf_idx, 0, kf - 1), :]  # (O, Fp, F_out, KT)
+    m = jnp.where(valid[None, :, :, None], w_g, 0)
+    m = jnp.transpose(m, (3, 1, 2, 0)).reshape(kt, fp, f_out * o)
+
+    # KT strided time views: z[k, b, fi, t'] = xpad[b, fi, st*t' + k]
+    z = jnp.stack(
+        [xpad[:, :, k : k + st * (t_out - 1) + 1 : st] for k in range(kt)]
+    )
+    mm_dtype = weight.dtype
+    out = jnp.einsum(
+        "kbft,kfm->btm",
+        z.astype(mm_dtype),
+        m.astype(mm_dtype),
+        preferred_element_type=jnp.float32,
+    )  # (B, T_out, F_out*O)
+    out = out.reshape(b, t_out, f_out, o)
+    out = jnp.transpose(out, (0, 3, 2, 1))  # NCHW
+    if bias is not None:
+        out = out + bias[None, :, None, None].astype(jnp.float32)
+    return out
+
+
 def batchnorm_eval(
     x: jnp.ndarray,
     gamma: jnp.ndarray,
