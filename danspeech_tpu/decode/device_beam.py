@@ -158,6 +158,85 @@ def expand_candidates(pb, pnb, last, h1, h2, lp_t, blank, parent_offset=0,
     return cand_h1, cand_h2, cand_pb, cand_pnb, cand_last, cand_parent, cand_char
 
 
+def expand_candidates_topk(pb, pnb, last, h1, h2, lp_t, topk_vals, topk_cls,
+                           blank, parent_offset=0, space=-1, bscore=None):
+    """Top-K-classes variant of :func:`expand_candidates` — the reference's
+    ``cutoff_top_n`` pruning (ctcdecode decoder.py:96-100; the Python
+    oracle applies the same per-frame class cut) moved on device: extension
+    candidates expand only the frame's K most probable classes, shrinking
+    the per-step candidate sort from W*(C+1) to W*(K+1) entries.
+
+    topk_vals/topk_cls are (B, K) from lax.top_k over the frame's
+    log-probs; the stay path still uses the full ``lp_t`` row (blank and
+    last-char repeat need their exact probabilities regardless of the
+    cut). ``bscore`` (B, W), when given, is the LM word-boundary bonus
+    applied where the expanded class is ``space``.
+    """
+    batch, w = pb.shape
+    k = topk_cls.shape[-1]
+    num_classes = lp_t.shape[-1]
+    total = _logaddexp(pb, pnb)  # (B, W)
+
+    # the oracle's cut applies to EVERY class including blank/last: the
+    # stay path only contributes when those classes survive the frame cut
+    lp_blank = lp_t[:, blank][:, None]
+    lp_last = jnp.take_along_axis(
+        lp_t, jnp.clip(last, 0, num_classes - 1), axis=-1
+    )
+    blank_in = jnp.any(topk_cls == blank, axis=-1)[:, None]  # (B, 1)
+    last_in = jnp.any(
+        topk_cls[:, None, :] == last[:, :, None], axis=-1
+    )  # (B, W)
+    stay_pb = jnp.where(blank_in, total + lp_blank, NEG_INF)
+    stay_pnb = jnp.where(last_in & (last >= 0), pnb + lp_last, NEG_INF)
+
+    cls = topk_cls[:, None, :]  # (B, 1, K)
+    vals = topk_vals[:, None, :]  # (B, 1, K)
+    base = total[:, :, None] + vals
+    rep = pb[:, :, None] + vals
+    is_last = cls == last[:, :, None]
+    ext_pnb = jnp.where(is_last, rep, base)  # (B, W, K)
+    if bscore is not None:
+        ext_pnb = ext_pnb + jnp.where(cls == space, bscore[:, :, None], 0.0)
+    ext_pnb = jnp.where(cls == blank, NEG_INF, ext_pnb)
+
+    cls_u = (topk_cls[:, None, :] + 1).astype(jnp.uint32)
+    eh1 = h1[:, :, None] * _H1_MUL + cls_u
+    eh2 = h2[:, :, None] * _H2_MUL + cls_u
+    ext_last = jnp.broadcast_to(cls, (batch, w, k)).astype(jnp.int32)
+    local_ids = parent_offset + jnp.arange(w, dtype=jnp.int32)
+    parent = jnp.broadcast_to(local_ids[None, :, None], (batch, w, k))
+
+    cand_h1 = jnp.concatenate([h1, eh1.reshape(batch, -1)], axis=1)
+    cand_h2 = jnp.concatenate([h2, eh2.reshape(batch, -1)], axis=1)
+    cand_pb = jnp.concatenate(
+        [stay_pb, jnp.full((batch, w * k), NEG_INF)], axis=1
+    )
+    cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(batch, -1)], axis=1)
+    cand_last = jnp.concatenate([last, ext_last.reshape(batch, -1)], axis=1)
+    cand_parent = jnp.concatenate(
+        [jnp.broadcast_to(local_ids[None, :], (batch, w)),
+         parent.reshape(batch, -1)],
+        axis=1,
+    )
+    cand_char = jnp.concatenate(
+        [jnp.full((batch, w), -1, jnp.int32), ext_last.reshape(batch, -1)],
+        axis=1,
+    )
+
+    n_cand = cand_h1.shape[1]
+    dead = _logaddexp(cand_pb, cand_pnb) <= NEG_INF / 2
+    po = jnp.asarray(parent_offset).astype(jnp.uint32)
+    cand_h1 = jnp.where(dead, jnp.uint32(0xFFFFFFFF), cand_h1)
+    cand_h2 = jnp.where(
+        dead,
+        po * (1 + jnp.arange(n_cand, dtype=jnp.uint32))[None, :]
+        + jnp.arange(n_cand, dtype=jnp.uint32)[None, :],
+        cand_h2,
+    )
+    return cand_h1, cand_h2, cand_pb, cand_pnb, cand_last, cand_parent, cand_char
+
+
 def merge_top_w(cands, w):
     """Sort candidates by hash pair, merge duplicate prefixes with a
     segmented log-sum-exp, keep the top ``w`` by total probability.
@@ -192,7 +271,9 @@ def merge_top_w(cands, w):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("beam_width", "blank", "max_symbols", "space"),
+    static_argnames=(
+        "beam_width", "blank", "max_symbols", "space", "cutoff_top_n"
+    ),
 )
 def ctc_beam_search_device(
     probs: jnp.ndarray,  # (B, T, C) softmax probabilities
@@ -204,6 +285,7 @@ def ctc_beam_search_device(
     alpha: float = 0.0,
     beta: float = 0.0,
     space: int = -1,
+    cutoff_top_n: int = 40,
 ):
     """Batched beam search. Returns (labels, times, lens, scores):
 
@@ -241,24 +323,35 @@ def ctc_beam_search_device(
     else:
         lm_state0 = None
 
+    use_topk = cutoff_top_n < num_classes
+
     def step(state, inputs):
         pb, pnb, last, h1, h2, lm_state = state
         lp_t, t = inputs  # (B, C), scalar
 
         if lm is not None:
             bscore, wid = boundary_scores(lm, lm_state, alpha, beta)
-            ext_bonus = (
-                jnp.zeros((batch, w, num_classes))
-                .at[:, :, space]
-                .set(bscore)
+        else:
+            bscore = None
+
+        if use_topk:
+            topk_vals, topk_cls = jax.lax.top_k(lp_t, cutoff_top_n)
+            cands = expand_candidates_topk(
+                pb, pnb, last, h1, h2, lp_t, topk_vals, topk_cls, blank,
+                parent_offset=0, space=space, bscore=bscore,
             )
         else:
             ext_bonus = None
-
-        cands = expand_candidates(
-            pb, pnb, last, h1, h2, lp_t, blank, parent_offset=0,
-            ext_bonus=ext_bonus,
-        )
+            if bscore is not None:
+                ext_bonus = (
+                    jnp.zeros((batch, w, num_classes))
+                    .at[:, :, space]
+                    .set(bscore)
+                )
+            cands = expand_candidates(
+                pb, pnb, last, h1, h2, lp_t, blank, parent_offset=0,
+                ext_bonus=ext_bonus,
+            )
         (n_pb, n_pnb, n_last, n_h1, n_h2, bk_parent, bk_char) = merge_top_w(
             cands, w
         )
@@ -375,10 +468,12 @@ class DeviceBeamDecoder:
         lm=None,
         alpha: float = 0.0,
         beta: float = 0.0,
+        cutoff_top_n: int = 40,
     ):
         self.labels = labels
         self.beam_width = beam_width
         self.blank_index = blank_index
+        self.cutoff_top_n = cutoff_top_n
         self.space_index = labels.index(" ") if " " in labels else -1
         self.alpha = alpha
         self.beta = beta
@@ -404,7 +499,7 @@ class DeviceBeamDecoder:
         labels, times, lens, scores = ctc_beam_search_device(
             probs, sizes, beam_width=self.beam_width, blank=self.blank_index,
             lm=self.lm, alpha=self.alpha, beta=self.beta,
-            space=self.space_index,
+            space=self.space_index, cutoff_top_n=self.cutoff_top_n,
         )
         labels, times = np.asarray(labels), np.asarray(times)
         lens, scores = np.asarray(lens), np.asarray(scores)

@@ -74,3 +74,46 @@ def test_times_are_increasing():
     off = offsets[0][0]
     assert len(off) == len(strings[0][0])
     assert all(int(a) < int(b) for a, b in zip(off, off[1:]))
+
+
+def test_cutoff_top_n_matches_oracle():
+    """Device-side cutoff_top_n (per-frame class cut before expansion) ==
+    the Python oracle's cutoff, LM-free and LM-fused."""
+    from danspeech_tpu.decode.beam import _LMScorer, prefix_beam_search
+    from danspeech_tpu.decode.lm import NgramLM
+
+    rng = np.random.default_rng(17)
+    labels = LABELS
+    space = labels.index(" ")
+    t, c, k = 40, len(labels), 8
+    probs = rng.dirichlet(np.ones(c) * 0.2, size=(1, t)).astype(np.float32)
+
+    oracle = prefix_beam_search(
+        probs[0], beam_width=12, blank=0, cutoff_top_n=k
+    )
+    oracle_best = "".join(labels[ch] for ch in oracle[0][0])
+    dec = DeviceBeamDecoder(labels, beam_width=12, cutoff_top_n=k)
+    strings, _ = dec.decode(probs)
+    assert strings[0][0] == oracle_best
+
+    lm = NgramLM(2)
+    for w in ["hej", "med", "dig"]:
+        lm.add_ngram((w,), float(rng.uniform(-2, -0.5)), -0.2)
+    lm.add_ngram(("hej", "med"), -0.3)
+    biased = np.full((1, t, c), 0.01, np.float32)
+    text = "hej med dig "
+    for ti in range(t):
+        biased[0, ti, labels.index(text[ti % len(text)])] += 1.0
+        biased[0, ti, 0] += 0.6
+    biased /= biased.sum(-1, keepdims=True)
+    scorer = _LMScorer(lm, labels, 1.0, 0.3, space)
+    oracle = prefix_beam_search(
+        biased[0], beam_width=12, blank=0, cutoff_top_n=k,
+        scorer=scorer, space_index=space,
+    )
+    oracle_best = "".join(labels[ch] for ch in oracle[0][0])
+    dec_lm = DeviceBeamDecoder(
+        labels, beam_width=12, cutoff_top_n=k, lm=lm, alpha=1.0, beta=0.3
+    )
+    strings, _ = dec_lm.decode(biased)
+    assert strings[0][0] == oracle_best
