@@ -329,13 +329,30 @@ def ctc_beam_search_device(
         pb, pnb, last, h1, h2, lm_state = state
         lp_t, t = inputs  # (B, C), scalar
 
+        if use_topk:
+            topk_vals, topk_cls = jax.lax.top_k(lp_t, cutoff_top_n)
+
         if lm is not None:
-            bscore, wid = boundary_scores(lm, lm_state, alpha, beta)
+            if use_topk:
+                # LM probing is the dominant per-step cost (hash-table
+                # gathers for every beam); a frame whose class cut excludes
+                # space cannot extend any word, so the whole probe batch is
+                # skipped via cond on most frames of peaky CTC posteriors
+                space_present = jnp.any(topk_cls == space)
+                bscore, wid = jax.lax.cond(
+                    space_present,
+                    lambda: boundary_scores(lm, lm_state, alpha, beta),
+                    lambda: (
+                        jnp.zeros((batch, w), jnp.float32),
+                        jnp.full((batch, w), -1, jnp.int32),
+                    ),
+                )
+            else:
+                bscore, wid = boundary_scores(lm, lm_state, alpha, beta)
         else:
             bscore = None
 
         if use_topk:
-            topk_vals, topk_cls = jax.lax.top_k(lp_t, cutoff_top_n)
             cands = expand_candidates_topk(
                 pb, pnb, last, h1, h2, lp_t, topk_vals, topk_cls, blank,
                 parent_offset=0, space=space, bscore=bscore,
@@ -488,7 +505,14 @@ class DeviceBeamDecoder:
                 lm = pack_device_lm(lm, labels)
         self.lm = lm
 
-    def decode(self, probs, sizes=None):
+    # engine hint: decode(n_best=...) limits the beams fetched to host
+    supports_n_best = True
+
+    def decode(self, probs, sizes=None, n_best: int | None = None):
+        """Decode to (strings, offsets). ``n_best`` limits how many beams
+        are converted AND fetched — the (B, W, T) label/time arrays are
+        sliced on device first, so a top-1 serving call transfers W x less
+        than the full ctcdecode-style all-beams return."""
         probs = jnp.asarray(probs)
         batch, t_max, _ = probs.shape
         sizes = (
@@ -501,12 +525,13 @@ class DeviceBeamDecoder:
             lm=self.lm, alpha=self.alpha, beta=self.beta,
             space=self.space_index, cutoff_top_n=self.cutoff_top_n,
         )
-        labels, times = np.asarray(labels), np.asarray(times)
-        lens, scores = np.asarray(lens), np.asarray(scores)
+        top = self.beam_width if n_best is None else min(n_best, self.beam_width)
+        labels, times = np.asarray(labels[:, :top]), np.asarray(times[:, :top])
+        lens, scores = np.asarray(lens[:, :top]), np.asarray(scores)
         all_strings, all_offsets = [], []
         for b in range(batch):
             strings, offsets = [], []
-            for k in range(self.beam_width):
+            for k in range(top):
                 n = int(lens[b, k])
                 strings.append(
                     "".join(self.labels[c] for c in labels[b, k, :n])

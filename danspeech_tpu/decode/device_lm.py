@@ -77,12 +77,18 @@ def _slot(h1: int, h2: int, size: int) -> int:
 class _TableBuilder:
     """Open-addressing insert with a bounded probe window; grows and
     rehashes when any entry would land further than max_probe slots from
-    its home, so the device lookup can gather a fixed-size window."""
+    its home, so the device lookup can gather a fixed-size window.
+
+    The window size is the dominant device-side LM cost (every beam's
+    boundary score gathers (2*order+1) probes x window slots per frame),
+    so the table trades memory for a small window: 2.5x load headroom
+    keeps displacements < 8 for virtually all entries, and the
+    grow-and-retry loop guarantees the bound."""
 
     def __init__(self, n_entries: int, n_values: int, max_probe: int):
         self.max_probe = max_probe
         self.n_values = n_values
-        self.size = max(8, int(n_entries * 2.0))
+        self.size = max(8, int(n_entries * 2.5))
         self._alloc()
 
     def _alloc(self):
@@ -145,7 +151,7 @@ class DeviceLM:
         return cls(*aux, *children)
 
 
-def pack_device_lm(lm, labels: str, max_probe: int = 16) -> DeviceLM:
+def pack_device_lm(lm, labels: str, max_probe: int = 8) -> DeviceLM:
     """Pack an NgramLM (decode/lm.py) into a :class:`DeviceLM`.
 
     ``labels`` is the acoustic label string: the vocabulary table is keyed

@@ -251,7 +251,9 @@ class ShardedBeamDecoder:
                 lm = pack_device_lm(lm, labels)
         self.lm = lm
 
-    def decode(self, probs, sizes=None):
+    supports_n_best = True
+
+    def decode(self, probs, sizes=None, n_best: int | None = None):
         import numpy as np
 
         probs = jnp.asarray(probs)
@@ -267,12 +269,13 @@ class ShardedBeamDecoder:
             lm=self.lm, alpha=self.alpha, beta=self.beta,
             space=self.space_index,
         )
-        labels, times = np.asarray(labels), np.asarray(times)
-        lens, scores = np.asarray(lens), np.asarray(scores)
+        top = self.beam_width if n_best is None else min(n_best, self.beam_width)
+        labels, times = np.asarray(labels[:, :top]), np.asarray(times[:, :top])
+        lens = np.asarray(lens[:, :top])
         all_strings, all_offsets = [], []
         for b in range(batch):
             strings, offsets = [], []
-            for k in range(self.beam_width):
+            for k in range(top):
                 n = int(lens[b, k])
                 strings.append(
                     "".join(self.labels[c] for c in labels[b, k, :n])

@@ -318,10 +318,20 @@ class DanSpeechRecognizer:
         )
         return probs, np.asarray(out_lens)
 
+    def _decode_kwargs(self, show_all: bool) -> dict:
+        """Top-1 serving calls on device decoders fetch only the best beam
+        (the (B, W, T) label arrays slice on device, see
+        DeviceBeamDecoder.decode)."""
+        if not show_all and getattr(self.decoder, "supports_n_best", False):
+            return {"n_best": 1}
+        return {}
+
     def transcribe(self, recording, show_all: bool = False):
         """One-shot transcription of a waveform (reference :218-231)."""
         probs, out_lens = self._run_acoustic_batch([np.asarray(recording)])
-        decoded_output, _ = self.decoder.decode(probs, out_lens)
+        decoded_output, _ = self.decoder.decode(
+            probs, out_lens, **self._decode_kwargs(show_all)
+        )
         if show_all:
             if self.lm == "greedy":
                 warnings.warn(
@@ -337,7 +347,9 @@ class DanSpeechRecognizer:
         probs, out_lens = self._run_acoustic_batch(
             [np.asarray(r) for r in recordings]
         )
-        decoded_output, _ = self.decoder.decode(probs, out_lens)
+        decoded_output, _ = self.decoder.decode(
+            probs, out_lens, **self._decode_kwargs(show_all)
+        )
         if show_all:
             return decoded_output
         return [d[0] for d in decoded_output]
