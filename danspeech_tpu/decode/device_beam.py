@@ -49,40 +49,46 @@ def _logaddexp(a, b):
     return safe
 
 
-def _segmented_logsumexp(values, starts):
-    """Log-sum-exp over runs of a sorted axis; result lands on each run's
-    first element, later elements get NEG_INF.
+def _segmented_logsumexp2(values1, values2, starts):
+    """Log-sum-exp of TWO value streams over runs of a sorted axis in one
+    fused segmented scan; results land on each run's first element, later
+    elements get NEG_INF.
 
-    values: (..., N) f32; starts: (..., N) bool marking run starts.
+    values*: (..., N) f32; starts: (..., N) bool marking run starts.
 
     Implemented as a right-to-left segmented scan: in reversed order the
     reset flags are the runs' *ends* (= the element before the next run
     start), so the original run-start element — scanned last within its
-    run — accumulates the full run.
+    run — accumulates the full run. Fusing pb and pnb halves the scan
+    passes (they share the run structure).
     """
     ends = jnp.concatenate(
         [starts[..., 1:], jnp.ones_like(starts[..., :1])], axis=-1
     )
 
     def combine(a, b):
-        av, af = a
-        bv, bf = b
-        v = jnp.where(bf, bv, _logaddexp(av, bv))
-        return v, af | bf
+        av1, av2, af = a
+        bv1, bv2, bf = b
+        v1 = jnp.where(bf, bv1, _logaddexp(av1, bv1))
+        v2 = jnp.where(bf, bv2, _logaddexp(av2, bv2))
+        return v1, v2, af | bf
 
     rev = lambda x: jnp.flip(x, axis=-1)
-    v, _ = jax.lax.associative_scan(
-        combine, (rev(values), rev(ends)), axis=-1
+    v1, v2, _ = jax.lax.associative_scan(
+        combine, (rev(values1), rev(values2), rev(ends)), axis=-1
     )
-    acc = rev(v)
-    return jnp.where(starts, acc, NEG_INF)
+    acc1, acc2 = rev(v1), rev(v2)
+    neg = jnp.full_like(acc1, NEG_INF)
+    return jnp.where(starts, acc1, neg), jnp.where(starts, acc2, neg)
 
 
 def expand_candidates(pb, pnb, last, h1, h2, lp_t, blank, parent_offset=0,
                       ext_bonus=None):
     """Expand W beams x C classes into flat candidate arrays.
 
-    Returns (h1, h2, pb, pnb, last, parent, char), each (B, W*(C+1)).
+    Returns (h1, h2, pb, pnb, parent, char), each (B, W*(C+1)) — the
+    merged front's ``last`` char is reconstructed by the caller from
+    (parent, char), so it does not ride the candidate sort.
     ``parent_offset`` shifts the recorded parent indices — the beam-sharded
     decoder passes each shard's global offset so backtrack pointers stay
     global after the cross-chip merge. ``ext_bonus`` (B, W, C), if given,
@@ -132,7 +138,6 @@ def expand_candidates(pb, pnb, last, h1, h2, lp_t, blank, parent_offset=0,
         [stay_pb, jnp.full((batch, w * num_classes), NEG_INF)], axis=1
     )
     cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(batch, -1)], axis=1)
-    cand_last = jnp.concatenate([last, ext_last.reshape(batch, -1)], axis=1)
     cand_parent = jnp.concatenate(
         [jnp.broadcast_to(local_ids[None, :], (batch, w)),
          parent.reshape(batch, -1)],
@@ -155,7 +160,7 @@ def expand_candidates(pb, pnb, last, h1, h2, lp_t, blank, parent_offset=0,
         + jnp.arange(n_cand, dtype=jnp.uint32)[None, :],
         cand_h2,
     )
-    return cand_h1, cand_h2, cand_pb, cand_pnb, cand_last, cand_parent, cand_char
+    return cand_h1, cand_h2, cand_pb, cand_pnb, cand_parent, cand_char
 
 
 def expand_candidates_topk(pb, pnb, last, h1, h2, lp_t, topk_vals, topk_cls,
@@ -213,7 +218,6 @@ def expand_candidates_topk(pb, pnb, last, h1, h2, lp_t, topk_vals, topk_cls,
         [stay_pb, jnp.full((batch, w * k), NEG_INF)], axis=1
     )
     cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(batch, -1)], axis=1)
-    cand_last = jnp.concatenate([last, ext_last.reshape(batch, -1)], axis=1)
     cand_parent = jnp.concatenate(
         [jnp.broadcast_to(local_ids[None, :], (batch, w)),
          parent.reshape(batch, -1)],
@@ -234,19 +238,27 @@ def expand_candidates_topk(pb, pnb, last, h1, h2, lp_t, topk_vals, topk_cls,
         + jnp.arange(n_cand, dtype=jnp.uint32)[None, :],
         cand_h2,
     )
-    return cand_h1, cand_h2, cand_pb, cand_pnb, cand_last, cand_parent, cand_char
+    return cand_h1, cand_h2, cand_pb, cand_pnb, cand_parent, cand_char
+
+
+_PACK = 4096  # packed payload stride: char+1 < 4096, parent < 2^19
 
 
 def merge_top_w(cands, w):
     """Sort candidates by hash pair, merge duplicate prefixes with a
     segmented log-sum-exp, keep the top ``w`` by total probability.
 
-    Returns (pb, pnb, last, h1, h2, parent, char), each (B, w).
+    Returns (pb, pnb, h1, h2, parent, char), each (B, w). The sort carries
+    only 5 operands (2 hash keys, the two probability streams, and parent/
+    char packed into one int32) — everything else about the merged front
+    (``last``, the LM state) is a pure function of (parent, char) and is
+    rebuilt by the caller.
     """
-    cand_h1, cand_h2, cand_pb, cand_pnb, cand_last, cand_parent, cand_char = cands
+    cand_h1, cand_h2, cand_pb, cand_pnb, cand_parent, cand_char = cands
     batch = cand_h1.shape[0]
-    sh1, sh2, s_pb, s_pnb, s_last, s_parent, s_char = jax.lax.sort(
-        (cand_h1, cand_h2, cand_pb, cand_pnb, cand_last, cand_parent, cand_char),
+    packed = cand_parent * _PACK + (cand_char + 1)
+    sh1, sh2, s_pb, s_pnb, s_packed = jax.lax.sort(
+        (cand_h1, cand_h2, cand_pb, cand_pnb, packed),
         dimension=1,
         num_keys=2,
     )
@@ -257,16 +269,15 @@ def merge_top_w(cands, w):
         ],
         axis=1,
     )
-    m_pb = _segmented_logsumexp(s_pb, first)
-    m_pnb = _segmented_logsumexp(s_pnb, first)
+    m_pb, m_pnb = _segmented_logsumexp2(s_pb, s_pnb, first)
     m_total = _logaddexp(m_pb, m_pnb)
 
     _, top_idx = jax.lax.top_k(m_total, w)  # (B, w)
     take = lambda arr: jnp.take_along_axis(arr, top_idx, axis=1)
-    return (
-        take(m_pb), take(m_pnb), take(s_last), take(sh1), take(sh2),
-        take(s_parent), take(s_char),
-    )
+    t_packed = take(s_packed)
+    parent = t_packed // _PACK
+    char = t_packed % _PACK - 1
+    return take(m_pb), take(m_pnb), take(sh1), take(sh2), parent, char
 
 
 @functools.partial(
@@ -369,7 +380,7 @@ def ctc_beam_search_device(
                 pb, pnb, last, h1, h2, lp_t, blank, parent_offset=0,
                 ext_bonus=ext_bonus,
             )
-        (n_pb, n_pnb, n_last, n_h1, n_h2, bk_parent, bk_char) = merge_top_w(
+        (n_pb, n_pnb, n_h1, n_h2, bk_parent, bk_char) = merge_top_w(
             cands, w
         )
 
@@ -381,15 +392,18 @@ def ctc_beam_search_device(
             active, bk_parent, jnp.arange(w, dtype=jnp.int32)[None, :]
         )
         bk_char = jnp.where(active, bk_char, jnp.full((batch, w), -1, jnp.int32))
+        # ``last`` (like the LM state) is a pure function of (parent, char):
+        # rebuilt instead of riding the candidate sort; the frozen-row
+        # identity pointers keep it intact automatically
+        n_last = jnp.where(
+            bk_char >= 0, bk_char, jnp.take_along_axis(last, bk_parent, axis=1)
+        )
         if lm is not None:
-            # LM state is a pure function of the prefix: rebuild it from
-            # each kept candidate's (parent, char) instead of sorting it
-            # through the merge (identity pointers keep frozen rows intact)
             lm_state = reconstruct_lm_state(
                 lm_state, bk_parent, bk_char, wid, space
             )
         new_state = (
-            keep(n_pb, pb), keep(n_pnb, pnb), keep(n_last, last),
+            keep(n_pb, pb), keep(n_pnb, pnb), n_last,
             keep(n_h1, h1), keep(n_h2, h2), lm_state,
         )
         return new_state, (bk_parent, bk_char)

@@ -99,7 +99,7 @@ def _sharded_search(lp, lengths, beam_width, blank, n_shards, axis,
             )
             for c in cands
         )
-        n_pb, n_pnb, n_last, n_h1, n_h2, bk_parent, bk_char = merge_top_w(
+        n_pb, n_pnb, n_h1, n_h2, bk_parent, bk_char = merge_top_w(
             gathered, w
         )
         active = (t < lengths)[:, None]
@@ -110,6 +110,10 @@ def _sharded_search(lp, lengths, beam_width, blank, n_shards, axis,
         bk_char = jnp.where(
             active, bk_char, jnp.full((batch, w), -1, jnp.int32)
         )
+        # last rebuilt from (parent, char) against the replicated front
+        n_last = jnp.where(
+            bk_char >= 0, bk_char, jnp.take_along_axis(last, bk_parent, axis=1)
+        )
         if lm is not None:
             # word ids ride the same exchange; shard order == global order
             wid = jnp.concatenate(
@@ -119,7 +123,7 @@ def _sharded_search(lp, lengths, beam_width, blank, n_shards, axis,
                 lm_state, bk_parent, bk_char, wid, space
             )
         new_state = (
-            keep(n_pb, pb), keep(n_pnb, pnb), keep(n_last, last),
+            keep(n_pb, pb), keep(n_pnb, pnb), n_last,
             keep(n_h1, h1), keep(n_h2, h2), lm_state,
         )
         return new_state, (bk_parent, bk_char)
