@@ -1,0 +1,139 @@
+"""Engine streaming end-states: secondary-model rescore and LM final
+re-decode (reference DanSpeechRecognizer.py:186-208).
+
+The per-chunk greedy partial path is covered by test_streaming_masked /
+test_streaming_parity; these pin the two final-chunk behaviors.
+"""
+
+import numpy as np
+import pytest
+
+from danspeech_tpu.engine import DanSpeechRecognizer
+from danspeech_tpu.features.spectrogram import InferenceSpectrogramAudioParser
+from danspeech_tpu.models import DeepSpeechModel, deepspeech as ds
+from danspeech_tpu.models.config import DeepSpeechConfig
+
+from test_model_parity import randomize_bn
+
+
+@pytest.fixture(scope="module")
+def stream_model():
+    """Uni+lookahead streaming model, fc sharpened so greedy partials are
+    non-empty (the engine's final-chunk rescore only fires when the
+    iterating transcript has content — reference :185)."""
+    import jax.numpy as jnp
+
+    cfg = DeepSpeechConfig(
+        model_name="stream",
+        rnn_hidden_size=64,
+        rnn_layers=2,
+        conv_layers=2,
+        bidirectional=False,
+        context=20,
+    )
+    m = DeepSpeechModel.init_random(cfg, seed=11)
+    m.params = randomize_bn(m.params, seed=12)
+    fc = m.params["fc"]
+    m.params = {**m.params, "fc": fc._replace(weight=fc.weight * 4.0)}
+    return m
+
+
+@pytest.fixture(scope="module")
+def secondary_model():
+    cfg = DeepSpeechConfig(
+        model_name="secondary", rnn_hidden_size=64, rnn_layers=2, conv_layers=2
+    )
+    m = DeepSpeechModel.init_random(cfg, seed=5)
+    m.params = randomize_bn(m.params, seed=6)
+    return m
+
+
+def _chunks(rng, n=4, size=15200):
+    return [rng.normal(size=size).astype(np.float32) * 600 for _ in range(n)]
+
+
+def test_secondary_model_rescore_matches_direct(stream_model, secondary_model):
+    """On the final chunk the secondary (bidirectional) model re-transcribes
+    the concatenated streaming spectrograms; the result must equal running
+    that model + greedy decode on the same spectrogram directly."""
+    rng = np.random.default_rng(0)
+    chunks = _chunks(rng)
+
+    eng = DanSpeechRecognizer()
+    eng.update_model(stream_model)
+    eng.enable_streaming(secondary_model=secondary_model, return_string_parts=False)
+    final = ""
+    for i, ch in enumerate(chunks):
+        out = eng.streaming_transcribe(
+            ch, is_last=(i == len(chunks) - 1), is_first=(i == 0)
+        )
+        if i == len(chunks) - 1:
+            final = out
+
+    # reference computation: same parser over the same chunks, concat,
+    # secondary forward, greedy decode
+    parser = InferenceSpectrogramAudioParser(
+        audio_config=stream_model.audio_conf
+    )
+    spects = []
+    for i, ch in enumerate(chunks):
+        s = parser.parse_audio(ch, i == len(chunks) - 1)
+        if len(s):
+            spects.append(np.asarray(s))
+    full = np.concatenate(spects, axis=1)
+
+    import jax.numpy as jnp
+
+    probs, lens = ds.forward(
+        secondary_model.params,
+        secondary_model.config,
+        jnp.asarray(full)[None, None],
+        jnp.asarray([full.shape[1]]),
+    )
+    from danspeech_tpu.decode.greedy import GreedyDecoder
+
+    dec = GreedyDecoder(labels=secondary_model.labels, blank_index=0)
+    expected, _ = dec.decode(np.asarray(probs), np.asarray(lens))
+    assert final == expected[0][0]
+    assert len(final) > 0
+
+
+def test_lm_final_redecode_consumes_concatenated_probs(stream_model):
+    """With an LM decoder and no secondary model, the final chunk re-decodes
+    the concatenated per-chunk probability stream through the beam decoder
+    (reference :203-208)."""
+
+    class RecordingDecoder:
+        def __init__(self):
+            self.calls = []
+
+        def decode(self, probs, sizes=None):
+            probs = np.asarray(probs)
+            self.calls.append(probs.shape)
+            return [["final-redecode"]], [[np.zeros(0, np.int32)]]
+
+    rng = np.random.default_rng(1)
+    chunks = _chunks(rng)
+
+    eng = DanSpeechRecognizer()
+    eng.update_model(stream_model)
+    eng.enable_streaming(secondary_model=None, return_string_parts=False)
+    eng.lm = "not-greedy"  # engine treats any non-greedy value as LM mode
+    rec = RecordingDecoder()
+    eng.decoder = rec
+
+    outputs = []
+    for i, ch in enumerate(chunks):
+        outputs.append(
+            eng.streaming_transcribe(
+                ch, is_last=(i == len(chunks) - 1), is_first=(i == 0)
+            )
+        )
+
+    assert outputs[-1] == "final-redecode"
+    assert len(rec.calls) == 1  # one final re-decode over the whole stream
+    batch, t_total, n_classes = rec.calls[0]
+    assert batch == 1 and n_classes == len(stream_model.labels)
+    # the concatenated stream covers every emitted chunk's frames: more
+    # frames than any single chunk could produce
+    assert t_total > 40
