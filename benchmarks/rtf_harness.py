@@ -143,6 +143,38 @@ def main():
         run_stream()
     report(4, "streaming_chunked", audio_s[0] * args.iters, time.perf_counter() - t0)
 
+    # --- config 4b: cohort-batched multi-stream streaming -------------------
+    # S concurrent real-time sessions advance through ONE jitted chunk step
+    # (stream index = batch dim); aggregate audio-s/s is the serving metric.
+    from danspeech_tpu.multistream import MultiStreamTranscriber
+
+    S = int(os.environ.get("RTF_STREAMS", "32"))
+    long_buf = np.concatenate(waves)
+    streams = [
+        long_buf[(s * 16000) % (len(long_buf) - n_chunks * chunk):][: n_chunks * chunk]
+        for s in range(S)
+    ]
+    ms = MultiStreamTranscriber(stream_model, n_streams=S)
+
+    def run_cohort():
+        for ci in range(n_chunks):
+            ms.step(
+                [st[ci * chunk : (ci + 1) * chunk] for st in streams],
+                is_last=(ci == n_chunks - 1),
+                is_first=(ci == 0),
+            )
+
+    run_cohort()  # warm
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        run_cohort()
+    report(
+        4.5,
+        f"streaming_chunked_{S}streams",
+        S * n_chunks * (chunk / 16000.0) * args.iters,
+        time.perf_counter() - t0,
+    )
+
     # --- config 5: long-form VAD-segmented transcription --------------------
     long_wav = np.concatenate(waves)  # 76.19 s "video"
     from danspeech_tpu.audio.dsp import energy_vad_segments

@@ -6,6 +6,7 @@ JAX/XLA/Pallas.
 """
 
 from .engine import DanSpeechRecognizer  # noqa: F401
+from .multistream import MultiStreamTranscriber  # noqa: F401
 from .recognizer import Recognizer  # noqa: F401
 from .utils.cache import clean_cache  # noqa: F401
 
