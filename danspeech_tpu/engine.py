@@ -441,7 +441,10 @@ class DanSpeechRecognizer:
             if is_first:
                 return ""
 
-            probs = np.asarray(probs)[:, : int(out_len)]
+            # one host<->device round trip for both results (the fetch is
+            # the latency floor of the per-chunk step over the axon tunnel)
+            probs, out_len = jax.device_get((probs, out_len))
+            probs = probs[:, : int(out_len)]
             self.full_output.append(probs)
             decoded_out, _ = self.greedy_decoder.decode(probs)
             transcript = decoded_out[0][0]

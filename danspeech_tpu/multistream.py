@@ -163,7 +163,9 @@ class MultiStreamTranscriber:
             )
 
             if not is_first:
-                probs = np.asarray(probs)[:, : int(out_len)]
+                # single fetch for both results (one tunnel round trip)
+                probs, out_len = jax.device_get((probs, out_len))
+                probs = probs[:, : int(out_len)]
                 if self.final_decoder is not None:
                     self.full_output.append(probs)
                 decoded, _ = self.greedy_decoder.decode(probs)
