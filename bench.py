@@ -44,29 +44,25 @@ def load_waveforms():
 
 # Serving batch: fill the MXU's 128-lane row tile exactly. The GRU per-step
 # matmul pads M up to 128 regardless, so every row below 128 is paid-for
-# silicon doing nothing — cycle the 13 files to occupy all 128 rows.
+# silicon doing nothing — cycle the 13 files to occupy all 128 rows of
+# every length bucket the engine's scheduler forms.
 BATCH_ROWS = int(os.environ.get("BENCH_BATCH_ROWS", "128"))
-
-# Length-bucketed batching (the DP serving plan, SURVEY §2.5): padding every
-# row to the global max wastes 26 % of the batch on the reference clips
-# (2.98-7.98 s). Group clips by ceil(len / bucket) and run one full
-# BATCH_ROWS dispatch per bucket — shapes stay bounded (one compile per
-# 1 s bucket), M stays 128, padding waste drops to ~7 %.
-BUCKET_SAMPLES = int(float(os.environ.get("BENCH_BUCKET_SECONDS", "1")) * 16000)
 
 
 def bench_tpu(waves, iters: int = 10):
+    """Throughput of the PUBLIC engine path: DanSpeechRecognizer.
+    transcribe_batch runs the bucketed async scheduler (length buckets,
+    128-row dispatch groups, device argmax, host decode overlapped with
+    the next group's device execution) — the same code a serving
+    deployment calls, engine.py:_transcribe_pipelined."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import jax.numpy as jnp
-
-    from danspeech_tpu.features.spectrogram import SpectrogramAudioParser
-    from danspeech_tpu.models import deepspeech as ds
+    from danspeech_tpu.engine import DanSpeechRecognizer
+    from danspeech_tpu.models import DeepSpeechModel, deepspeech as ds
     from danspeech_tpu.models.config import DeepSpeechConfig
-    from danspeech_tpu.ops import stft as stft_ops
 
     config = DeepSpeechConfig(**FLAGSHIP)
     # Serving init path: materialize the checkpoint on disk and load it
@@ -81,64 +77,31 @@ def bench_tpu(waves, iters: int = 10):
         ckpt = os.path.join(td, "flagship.dsz")
         save_checkpoint(ckpt, config, ds.init_params(config, seed=0))
         config, params = load_checkpoint(ckpt)
-    params = ds.cast_matmul_weights(params)
-    parser = SpectrogramAudioParser(config.audio_conf)
+    eng = DanSpeechRecognizer(model_name=DeepSpeechModel(config, params))
 
-    # Group clips into length buckets; each bucket runs as its own full
-    # BATCH_ROWS dispatch (cycling the bucket's clips), so the padded
-    # length of every dispatch is its own bucket boundary.
+    # Serving workload: cycle each 1 s length bucket's clips to BATCH_ROWS
+    # rows so every dispatch group the engine forms is a full 128-row MXU
+    # tile (the engine's scheduler buckets by the same quantum).
+    quantum = DanSpeechRecognizer.SAMPLE_BUCKET
     buckets: dict[int, list[np.ndarray]] = {}
     for w in waves:
-        b = -(-len(w) // BUCKET_SAMPLES) * BUCKET_SAMPLES
+        b = -(-len(w) // quantum) * quantum
         buckets.setdefault(b, []).append(w)
-
-    @jax.jit
-    def run(params, waveforms, lens):
-        spect, frame_lens = stft_ops.batched_log_spectrogram(
-            waveforms, lens, parser.n_fft, parser.hop_length, parser.window
-        )
-        probs, out_lens = ds.forward(params, config, spect[:, None, :, :], frame_lens)
-        # argmax on device: only the (B, T) paths come back to host
-        return jnp.argmax(probs, axis=-1), out_lens
-
-    groups = []  # (jbatch, jlens, audio_s per dispatch)
+    workload: list[np.ndarray] = []
     for maxlen in sorted(buckets):
-        rows = [buckets[maxlen][i % len(buckets[maxlen])] for i in range(BATCH_ROWS)]
-        lengths = np.array([len(w) for w in rows], dtype=np.int32)
-        batch = np.zeros((BATCH_ROWS, maxlen), dtype=np.float32)
-        for i, w in enumerate(rows):
-            batch[i, : len(w)] = w
-        groups.append(
-            (jnp.asarray(batch), jnp.asarray(lengths), float(lengths.sum()) / 16000.0)
-        )
+        clips = buckets[maxlen]
+        workload += [clips[i % len(clips)] for i in range(BATCH_ROWS)]
 
-    # warmup / compile every bucket shape
-    for jb, jl, _ in groups:
-        paths, out_lens = run(params, jb, jl)
-        _ = np.asarray(paths)
+    eng.transcribe_batch(workload)  # warmup / compile every bucket shape
 
-    # Amortized timing: enqueue all iterations, fetch once. The axon tunnel
-    # has a ~30 ms dispatch+fetch round-trip that is not device time (a real
-    # serving host overlaps it); TPU executes enqueued programs in order,
-    # so total wall / iters is true steady-state per-batch latency.
-    fetched = []
     t0 = time.perf_counter()
     for _ in range(iters):
-        fetched = [run(params, jb, jl) for jb, jl, _ in groups]
-    fetched_np = [(np.asarray(p), np.asarray(ol)) for p, ol in fetched]
+        out = eng.transcribe_batch(workload)
     elapsed = (time.perf_counter() - t0) / iters
+    assert len(out) == len(workload) and all(isinstance(s, str) for s in out)
 
-    # decode once (host-side collapse cost is part of the pipeline)
-    t0 = time.perf_counter()
-    from danspeech_tpu.decode.greedy import collapse_sequence
-
-    for paths_np, out_lens_np in fetched_np:
-        for b in range(paths_np.shape[0]):
-            collapse_sequence(paths_np[b], int(out_lens_np[b]), config.labels, 0)
-    decode_s = time.perf_counter() - t0
-
-    batch_audio_s = sum(a for _, _, a in groups)
-    return elapsed + decode_s, batch_audio_s
+    batch_audio_s = sum(len(w) for w in workload) / 16000.0
+    return elapsed, batch_audio_s
 
 
 def bench_cpu_baseline(waves) -> float:

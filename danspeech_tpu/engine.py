@@ -106,6 +106,7 @@ class DanSpeechRecognizer:
 
         # per-model jit caches
         self._forward_fn = None
+        self._greedy_fn = None
         self._stream_fns: dict = {}
         self._secondary_fn = None
 
@@ -126,6 +127,7 @@ class DanSpeechRecognizer:
             self._compute_params = model.params
         self.update_decoder(labels=self.labels)
         self._forward_fn = None
+        self._greedy_fn = None
         self._stream_fns = {}
 
     def update_decoder(self, lm=None, alpha=None, beta=None, labels=None,
@@ -151,10 +153,13 @@ class DanSpeechRecognizer:
         if lm and self.lm != lm:
             update = True
             self.lm = lm
-        if alpha and self.alpha != alpha:
+        # None means "keep"; 0.0 is a real value (the reference's falsy
+        # check at DanSpeechRecognizer.py:66-72 can never reset alpha/beta
+        # to 0 — ours treats the parameters as first-class)
+        if alpha is not None and self.alpha != alpha:
             update = True
             self.alpha = alpha
-        if beta and self.beta != beta:
+        if beta is not None and self.beta != beta:
             update = True
             self.beta = beta
         if labels and labels != self.labels:
@@ -279,6 +284,21 @@ class DanSpeechRecognizer:
             self._forward_fn = run
         return self._forward_fn
 
+    def _forward_greedy_jit(self):
+        """Forward + device argmax fused in one program: only the (B, T)
+        int32 path ids and lengths ever cross the host link (the probs
+        tensor is C=33x larger and never leaves HBM)."""
+        if self._greedy_fn is None:
+            forward = self._forward_jit()
+
+            @jax.jit
+            def run(params, waveforms, lengths):
+                probs, out_lens = forward(params, waveforms, lengths)
+                return jnp.argmax(probs, axis=-1), out_lens
+
+            self._greedy_fn = run
+        return self._greedy_fn
+
     def _stream_step_jit(self, is_first: bool, is_last: bool):
         key = (is_first, is_last)
         if key not in self._stream_fns:
@@ -326,11 +346,131 @@ class DanSpeechRecognizer:
             return {"n_best": 1}
         return {}
 
+    # -- bucketed async batch scheduler ---------------------------------
+    #
+    # The serving plan (SURVEY §2.5 DP row): group waveforms into
+    # SAMPLE_BUCKET length groups so each dispatch pads only to its own
+    # bucket boundary, split each bucket into row groups of at most
+    # MAX_BATCH_ROWS (the MXU's 128-lane row tile), pad row counts to
+    # powers of two so compilations stay bounded, enqueue every group's
+    # device program up-front (JAX dispatch is async), then decode group i
+    # on the host while the device executes groups i+1.. — the double
+    # buffering that round 2 kept in bench.py now IS the public path.
+
+    MAX_BATCH_ROWS = 128
+
+    @staticmethod
+    def _row_quantum(n: int) -> int:
+        p = 1
+        while p < n:
+            p *= 2
+        return min(p, DanSpeechRecognizer.MAX_BATCH_ROWS)
+
+    def _plan_groups(self, recordings: list[np.ndarray]):
+        """Group utterance indices into (indices, batch, lengths) dispatch
+        groups: one length bucket per SAMPLE_BUCKET quantum, at most
+        MAX_BATCH_ROWS rows per group, row count padded to a power of two
+        (pad rows replicate row 0 and are dropped after decode)."""
+        buckets: dict[int, list[int]] = {}
+        for i, r in enumerate(recordings):
+            b = _bucket(len(r), self.SAMPLE_BUCKET)
+            buckets.setdefault(b, []).append(i)
+        groups = []
+        for maxlen in sorted(buckets):
+            idxs = buckets[maxlen]
+            for s in range(0, len(idxs), self.MAX_BATCH_ROWS):
+                chunk = idxs[s : s + self.MAX_BATCH_ROWS]
+                rows = self._row_quantum(len(chunk))
+                batch = np.zeros((rows, maxlen), dtype=np.float32)
+                lengths = np.empty((rows,), dtype=np.int32)
+                for j, i in enumerate(chunk):
+                    batch[j, : len(recordings[i])] = recordings[i]
+                    lengths[j] = len(recordings[i])
+                for j in range(len(chunk), rows):
+                    batch[j] = batch[0]
+                    lengths[j] = lengths[0]
+                groups.append((chunk, batch, lengths))
+        return groups
+
+    @staticmethod
+    def _to_host_async(*arrays) -> None:
+        """Start device->host transfers without blocking (the later
+        np.asarray then finds the bytes already on host)."""
+        for a in arrays:
+            try:
+                a.copy_to_host_async()
+            except Exception:  # non-jax array or backend without support
+                pass
+
+    def _transcribe_pipelined(self, recordings: list[np.ndarray],
+                              show_all: bool):
+        """Run the bucketed dispatch plan and reassemble per-utterance
+        decode results in input order."""
+        if self.model is None:
+            raise ModelNotInitialized("No acoustic model loaded")
+        groups = self._plan_groups(recordings)
+        greedy_fast = isinstance(self.decoder, GreedyDecoder)
+        params = self._compute_params
+
+        # phase 1: enqueue every group's device program
+        pending = []
+        if greedy_fast:
+            run = self._forward_greedy_jit()
+            for idxs, batch, lengths in groups:
+                paths, out_lens = run(
+                    params, jnp.asarray(batch), jnp.asarray(lengths)
+                )
+                self._to_host_async(paths, out_lens)
+                pending.append((idxs, paths, out_lens))
+        else:
+            run = self._forward_jit()
+            for idxs, batch, lengths in groups:
+                probs, out_lens = run(
+                    params, jnp.asarray(batch), jnp.asarray(lengths)
+                )
+                pending.append((idxs, probs, out_lens))
+
+        # phase 2: decode in dispatch order; host work overlaps the device
+        # execution of later groups
+        results: list = [None] * len(recordings)
+        if greedy_fast:
+            blank = self.labels.index("_")
+            from .decode.greedy import collapse_sequence
+
+            for idxs, paths, out_lens in pending:
+                paths_np = np.asarray(paths)
+                lens_np = np.asarray(out_lens)
+                for j, i in enumerate(idxs):
+                    s, _ = collapse_sequence(
+                        paths_np[j], int(lens_np[j]), self.labels, blank
+                    )
+                    results[i] = [s]
+        else:
+            kwargs = self._decode_kwargs(show_all)
+            device_side = getattr(self.decoder, "supports_n_best", False)
+            for idxs, probs, out_lens in pending:
+                lens_np = np.asarray(out_lens)
+                if device_side:
+                    # device/sharded beam: probs never leave HBM; the
+                    # padded rows ride the fixed-shape search and are
+                    # dropped below
+                    decoded, _ = self.decoder.decode(probs, lens_np, **kwargs)
+                else:
+                    # host decoders: fetch, then drop pad rows before the
+                    # C++ beam loop (pad rows would cost real beam work)
+                    decoded, _ = self.decoder.decode(
+                        np.asarray(probs)[: len(idxs)],
+                        lens_np[: len(idxs)],
+                        **kwargs,
+                    )
+                for j, i in enumerate(idxs):
+                    results[i] = decoded[j]
+        return results
+
     def transcribe(self, recording, show_all: bool = False):
         """One-shot transcription of a waveform (reference :218-231)."""
-        probs, out_lens = self._run_acoustic_batch([np.asarray(recording)])
-        decoded_output, _ = self.decoder.decode(
-            probs, out_lens, **self._decode_kwargs(show_all)
+        decoded_output = self._transcribe_pipelined(
+            [np.asarray(recording)], show_all
         )
         if show_all:
             if self.lm == "greedy":
@@ -342,13 +482,11 @@ class DanSpeechRecognizer:
         return decoded_output[0][0]
 
     def transcribe_batch(self, recordings: list, show_all: bool = False) -> list:
-        """Data-parallel batch transcription (no reference analog — the
-        reference loops utterances one at a time)."""
-        probs, out_lens = self._run_acoustic_batch(
-            [np.asarray(r) for r in recordings]
-        )
-        decoded_output, _ = self.decoder.decode(
-            probs, out_lens, **self._decode_kwargs(show_all)
+        """Data-parallel batch transcription through the bucketed async
+        scheduler (no reference analog — the reference loops utterances
+        one at a time, DanSpeechRecognizer.py:218-231)."""
+        decoded_output = self._transcribe_pipelined(
+            [np.asarray(r) for r in recordings], show_all
         )
         if show_all:
             return decoded_output
