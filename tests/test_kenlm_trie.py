@@ -13,8 +13,10 @@ import pytest
 from danspeech_tpu.decode.kenlm_reader import write_kenlm_probing, load_kenlm_probing
 from danspeech_tpu.decode.kenlm_trie import (
     load_kenlm_trie,
-    parse_kenlm_trie,
+    parse_kenlm_trie,  # noqa: F401 (re-exported for other tests)
     write_kenlm_trie,
+    MODEL_ARRAY_TRIE,
+    MODEL_QUANT_ARRAY_TRIE,
     MODEL_QUANT_TRIE,
 )
 from danspeech_tpu.decode.lm import NgramLM, load_lm
@@ -183,11 +185,110 @@ def test_beam_decoder_accepts_trie_klm(tmp_path):
     assert st[0][0] == sr[0][0]
 
 
-def test_rejects_quantized_trie(tmp_path):
-    lm, _ = _random_lm(seed=13, order=2, n_words=5)
-    path = str(tmp_path / "q.klm")
-    write_kenlm_trie(lm, path)
-    data = bytearray(open(path, "rb").read())
-    data[96:100] = int(MODEL_QUANT_TRIE).to_bytes(4, "little")
-    with pytest.raises(ValueError, match="[Qq]uantized"):
-        parse_kenlm_trie(bytes(data))
+# ---------------------------------------------------------------------------
+# Quantized (-q/-b) and Bhiksha (-a) variants (VERDICT r2 item 6)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "quantized,bhiksha,model_type",
+    [
+        (True, False, MODEL_QUANT_TRIE),
+        (False, True, MODEL_ARRAY_TRIE),
+        (True, True, MODEL_QUANT_ARRAY_TRIE),
+    ],
+)
+@pytest.mark.parametrize("order", [2, 3, 4])
+def test_variant_roundtrip_scoring_parity(
+    tmp_path, order, quantized, bhiksha, model_type
+):
+    """With 8-bit tables the test LMs have fewer distinct probs/backoffs
+    than bins, so quantization is lossless and scoring parity is exact at
+    float32 resolution — same oracle method as the plain trie."""
+    lm, words = _random_lm(seed=order, order=order)
+    path = str(tmp_path / "variant.klm")
+    write_kenlm_trie(lm, path, quantized=quantized, bhiksha=bhiksha)
+
+    data = open(path, "rb").read()
+    assert int.from_bytes(data[96:100], "little") == model_type
+    trie = load_kenlm_trie(path)
+    assert trie.order == order
+
+    rng = np.random.default_rng(1)
+    for _ in range(300):
+        k = int(rng.integers(0, order))
+        ctx = [words[i] for i in rng.integers(0, len(words), k)]
+        w = words[int(rng.integers(0, len(words)))]
+        np.testing.assert_allclose(
+            trie.score_word(list(ctx), w),
+            lm.score_word(list(ctx), w),
+            rtol=2e-6,
+            atol=2e-6,
+        )
+    assert trie.score_word([], "zzzzzzz") == -1000.0
+
+
+def test_low_bit_quantization_bounded_error(tmp_path):
+    """4-bit tables are lossy: scores must still be within the worst bin
+    width of the oracle (per term, <= order terms per score)."""
+    lm, words = _random_lm(seed=13, order=3)
+    path = str(tmp_path / "q4.klm")
+    write_kenlm_trie(lm, path, quantized=True, prob_bits=4, backoff_bits=4)
+    trie = load_kenlm_trie(path)
+
+    # worst-case per-table quantization error in natural-log space
+    from danspeech_tpu.decode.lm import LOG10
+
+    max_err = 0.0
+    for mid in trie._middles:
+        for bins in (mid.prob_bins, mid.backoff_bins):
+            c = np.sort(bins.centers.astype(np.float64))
+            max_err = max(max_err, float(np.diff(c).max(initial=0.0)))
+    c = np.sort(trie._longest.prob_bins.centers.astype(np.float64))
+    max_err = max(max_err, float(np.diff(c).max(initial=0.0)))
+    tol = LOG10 * max_err * lm.order + 1e-6
+
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        k = int(rng.integers(0, 3))
+        ctx = [words[i] for i in rng.integers(0, len(words), k)]
+        w = words[int(rng.integers(0, len(words)))]
+        assert abs(trie.score_word(list(ctx), w) - lm.score_word(list(ctx), w)) <= tol
+
+
+def test_bhiksha_offsets_smaller_inline_bits(tmp_path):
+    """-a actually chops next-pointer bits (the point of the format) and
+    the walk over the compressed pointers still enumerates everything."""
+    lm, _ = _random_lm(seed=17, order=3, n_words=40)
+    plain = str(tmp_path / "plain.klm")
+    packed = str(tmp_path / "bhiksha.klm")
+    write_kenlm_trie(lm, plain)
+    write_kenlm_trie(lm, packed, bhiksha=True)
+
+    t_plain = load_kenlm_trie(plain)
+    t_bhik = load_kenlm_trie(packed)
+    assert any(
+        b.next_bits < p.next_bits and b.offsets is not None
+        for p, b in zip(t_plain._middles, t_bhik._middles)
+    )
+    a, b = t_plain.to_ngram_lm(), t_bhik.to_ngram_lm()
+    assert a.tables == b.tables
+
+
+def test_variant_flows_through_load_lm_and_device(tmp_path):
+    """quantized+bhiksha .klm -> load_lm -> to_ngram_lm -> device packer."""
+    from danspeech_tpu.decode.device_lm import pack_device_lm
+    from danspeech_tpu.decode.kenlm_trie import KenLMTrieModel
+
+    lm, words = _random_lm(seed=19, order=3, n_words=12)
+    path = str(tmp_path / "qa.klm")
+    write_kenlm_trie(lm, path, quantized=True, bhiksha=True)
+    loaded = load_lm(path)
+    assert isinstance(loaded, KenLMTrieModel)
+    np.testing.assert_allclose(
+        loaded.score_word([words[1]], words[0]),
+        lm.score_word([words[1]], words[0]),
+        rtol=2e-6, atol=2e-6,
+    )
+    dlm = pack_device_lm(loaded.to_ngram_lm(), LABELS)
+    assert dlm.order == 3
