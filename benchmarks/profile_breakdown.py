@@ -108,3 +108,27 @@ audio_s = B * maxlen / 16000.0
 print(f"\nbatch audio: {audio_s:.0f} s   T frames: {int(frame_lens[0])}")
 print(f"full: {t_full*1e3:.1f} ms -> {audio_s/t_full:,.0f} audio-s/s/chip")
 print(f"rnn-stack share (est 9 layers): {(t_l1*8+t_l0)*1e3:.1f} ms")
+
+# committed artifact: stage attribution + layer-1 MFU vs the bf16 roofline
+t_frames = int(frame_lens[0])
+layer1_flops = 2 * 2 * t_frames * B * (1200 + 1200) * 3600  # proj+recur, 2 dirs
+artifact = {
+    "setup": f"DanSpeechPrimary 9x1200 bidi, B={B}, {maxlen/16000:.0f} s rows, "
+             f"T={t_frames} frames, TPU v5e 1 chip, ITERS={ITERS}",
+    "stages_ms": {
+        "stft": round(t_stft * 1e3, 2),
+        "conv_stack": round(t_conv * 1e3, 2),
+        "gru_layer0_in2016": round(t_l0 * 1e3, 2),
+        "gru_layer1_in1200": round(t_l1 * 1e3, 2),
+        "full_pipeline": round(t_full * 1e3, 2),
+    },
+    "audio_s_per_s_chip": round(audio_s / t_full, 1),
+    "gru_layer1_tflops": round(layer1_flops / t_l1 / 1e12, 1),
+    "gru_layer1_pct_of_197tflops_roofline": round(
+        layer1_flops / t_l1 / 197e12 * 100, 1
+    ),
+}
+with open(os.path.join(REPO, "benchmarks", "profile_breakdown.json"), "w") as f:
+    import json
+
+    json.dump(artifact, f, indent=2)

@@ -186,6 +186,13 @@ def main():
     eng.transcribe_batch(seg_waves)
     report(5, "longform_vad_batch", len(long_wav) / 16000.0, time.perf_counter() - t0)
 
+    # fail loudly if any config went missing — a partial artifact silently
+    # masquerading as the full measurement is worse than no artifact
+    expected = {1, 2, 3, 3.5, 4, 4.5, 5}
+    got = {r["config"] for r in results}
+    if got != expected:
+        raise RuntimeError(f"rtf harness incomplete: missing configs {sorted(expected - got)}")
+
     with open(os.path.join(REPO, "benchmarks", "rtf_results.json"), "w") as f:
         json.dump({"model": args.model, "results": results}, f, indent=1)
 

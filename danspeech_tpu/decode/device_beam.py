@@ -7,18 +7,25 @@ composes with pjit data parallelism (batch rows sharded over the mesh) and
 keeps the TPU busy between acoustic batches.
 
 Algorithm (frame-synchronous prefix beam search, reference ctcdecode
-semantics, decoder.py:96-144):
+semantics, decoder.py:96-144), sort-free:
 
-- beam state per (batch, beam): log_pb / log_pnb, last char, and a pair of
+- beam state per (batch, beam): log_pb / log_pnb, last char, a pair of
   32-bit rolling prefix hashes (TPU has no native 64-bit ints; two
-  independent multiplicative hashes make collisions vanishingly rare);
-- each step expands W beams x C classes into structured candidates
-  (blank / repeat-merge -> same prefix; extension -> child prefix),
-  sorts candidates by hash pair (lexicographic two-key sort), merges
-  duplicates with a segmented log-sum-exp (associative scan with
-  boundary resets), and keeps the top W by total probability;
-- per-step parent/char bookkeeping is stored (T, B, W) and the winning
-  label sequences + emission times are reconstructed by backtracking.
+  independent multiplicative hashes make collisions vanishingly rare),
+  and the hash pair of the beam's PARENT prefix (the prefix minus its
+  last char);
+- each step builds W stay candidates + W x C extension candidates.
+  Duplicate prefixes can arise in exactly one pattern: the extension of
+  beam j by char c equals beam i's prefix iff prefix_j == prefix_i[:-1]
+  and c == last_i (two distinct stays are distinct prefixes; two distinct
+  extensions ending in the same char come from distinct parents). So the
+  merge is a W x W parent-hash match (one tiny MXU einsum) that folds
+  ext(j, last_i) into stay(i) and kills the ext entry — no candidate
+  sort, no segmented scan;
+- after the fold all candidates are distinct, so top-W selection is a
+  single ``lax.top_k`` over the flat (B, W*(C+1)) score array; the winning
+  (parent, char) is recovered from index arithmetic and per-step
+  bookkeeping is stored (T, B, W) for backtracking.
 
 LM fusion runs on device too (SURVEY §2.2 N2/N3): pass a
 decode.device_lm.DeviceLM and word-boundary scores are probed from
@@ -41,6 +48,14 @@ NEG_INF = jnp.float32(-1e30)
 _H1_MUL = np.uint32(0x9E3779B1)
 _H2_MUL = np.uint32(0x85EBCA77)
 
+# hash-pair sentinels for dead beam slots: h1 = _DEAD_H1 with h2 = lane id
+# keeps dead slots mutually distinct and (whp) distinct from any real
+# prefix hash; _DEAD_PH1 marks "no parent" (the empty prefix and dead
+# slots), which can never equal a front hash because no live front beam
+# carries h1 = _DEAD_PH1.
+_DEAD_H1 = np.uint32(0xFFFFFFFF)
+_DEAD_PH1 = np.uint32(0xFFFFFFFE)
+
 
 def _logaddexp(a, b):
     mx = jnp.maximum(a, b)
@@ -49,235 +64,155 @@ def _logaddexp(a, b):
     return safe
 
 
-def _segmented_logsumexp2(values1, values2, starts):
-    """Log-sum-exp of TWO value streams over runs of a sorted axis in one
-    fused segmented scan; results land on each run's first element, later
-    elements get NEG_INF.
+def init_front(batch: int, w: int):
+    """Initial beam front: beam 0 is the live empty prefix, the rest are
+    dead sentinel slots. Returns (pb, pnb, last, h1, h2, ph1, ph2)."""
+    lane = jnp.arange(w, dtype=jnp.uint32)[None, :]
+    pb = jnp.full((batch, w), NEG_INF).at[:, 0].set(0.0)
+    pnb = jnp.full((batch, w), NEG_INF)
+    last = jnp.full((batch, w), -1, jnp.int32)
+    h1 = jnp.full((batch, w), _DEAD_H1, jnp.uint32).at[:, 0].set(0)
+    h2 = jnp.broadcast_to(lane, (batch, w)).at[:, 0].set(0)
+    ph1 = jnp.full((batch, w), _DEAD_PH1, jnp.uint32)
+    ph2 = jnp.broadcast_to(lane, (batch, w))
+    return pb, pnb, last, h1, h2, ph1, ph2
 
-    values*: (..., N) f32; starts: (..., N) bool marking run starts.
 
-    Implemented as a right-to-left segmented scan: in reversed order the
-    reset flags are the runs' *ends* (= the element before the next run
-    start), so the original run-start element — scanned last within its
-    run — accumulates the full run. Fusing pb and pnb halves the scan
-    passes (they share the run structure).
+def stay_ext_candidates(pb, pnb, last, lp_t, blank, topk_vals=None,
+                        topk_cls=None, space=-1, bscore=None):
+    """Build the step's candidates for a (slice of the) beam front.
+
+    Returns (stay_pb, stay_pnb, ext) with ext of shape (B, W, K) where the
+    class axis is the full C classes, or — when topk_vals/topk_cls (B, K)
+    from ``lax.top_k`` over the frame's log-probs are given — the
+    reference's ``cutoff_top_n`` per-frame class cut (ctcdecode
+    decoder.py:96-100) with only the K most probable classes expanded.
+    Under the cut the stay path also only contributes where blank / the
+    last char survive the frame cut (the oracle cuts EVERY class).
+    ``bscore`` (B, W), if given, is the LM word-boundary bonus added where
+    the expanded class is ``space``.
     """
-    ends = jnp.concatenate(
-        [starts[..., 1:], jnp.ones_like(starts[..., :1])], axis=-1
-    )
-
-    def combine(a, b):
-        av1, av2, af = a
-        bv1, bv2, bf = b
-        v1 = jnp.where(bf, bv1, _logaddexp(av1, bv1))
-        v2 = jnp.where(bf, bv2, _logaddexp(av2, bv2))
-        return v1, v2, af | bf
-
-    rev = lambda x: jnp.flip(x, axis=-1)
-    v1, v2, _ = jax.lax.associative_scan(
-        combine, (rev(values1), rev(values2), rev(ends)), axis=-1
-    )
-    acc1, acc2 = rev(v1), rev(v2)
-    neg = jnp.full_like(acc1, NEG_INF)
-    return jnp.where(starts, acc1, neg), jnp.where(starts, acc2, neg)
-
-
-def expand_candidates(pb, pnb, last, h1, h2, lp_t, blank, parent_offset=0,
-                      ext_bonus=None):
-    """Expand W beams x C classes into flat candidate arrays.
-
-    Returns (h1, h2, pb, pnb, parent, char), each (B, W*(C+1)) — the
-    merged front's ``last`` char is reconstructed by the caller from
-    (parent, char), so it does not ride the candidate sort.
-    ``parent_offset`` shifts the recorded parent indices — the beam-sharded
-    decoder passes each shard's global offset so backtrack pointers stay
-    global after the cross-chip merge. ``ext_bonus`` (B, W, C), if given,
-    is added to every extension candidate's log-probability — the LM
-    word-boundary bonus lands on the space column (decode/device_lm.py).
-    """
-    batch, w = pb.shape
     num_classes = lp_t.shape[-1]
     total = _logaddexp(pb, pnb)  # (B, W)
 
-    # 1) stay on the same prefix: blank from anywhere + repeat of the last
-    #    char without an intervening blank.
     lp_blank = lp_t[:, blank][:, None]  # (B, 1)
     lp_last = jnp.take_along_axis(
         lp_t, jnp.clip(last, 0, num_classes - 1), axis=-1
     )  # (B, W)
-    stay_pb = total + lp_blank
-    stay_pnb = jnp.where(last >= 0, pnb + lp_last, NEG_INF)
 
-    # 2) extend with char c: from total, except c == last extends only
-    #    from pb (the repeat-after-blank path).
-    base = total[:, :, None] + lp_t[:, None, :]  # (B, W, C)
-    rep = pb[:, :, None] + lp_t[:, None, :]
-    is_last = jnp.arange(num_classes)[None, None, :] == last[:, :, None]
-    ext_pnb = jnp.where(is_last, rep, base)  # (B, W, C)
-    if ext_bonus is not None:
-        ext_pnb = ext_pnb + ext_bonus
-    ext_pnb = ext_pnb.at[:, :, blank].set(NEG_INF)
+    if topk_cls is not None:
+        blank_in = jnp.any(topk_cls == blank, axis=-1)[:, None]  # (B, 1)
+        last_in = jnp.any(
+            topk_cls[:, None, :] == last[:, :, None], axis=-1
+        )  # (B, W)
+        stay_pb = jnp.where(blank_in, total + lp_blank, NEG_INF)
+        stay_pnb = jnp.where(last_in & (last >= 0), pnb + lp_last, NEG_INF)
+        cls = topk_cls[:, None, :]  # (B, 1, K)
+        vals = topk_vals[:, None, :]
+    else:
+        stay_pb = total + lp_blank
+        stay_pnb = jnp.where(last >= 0, pnb + lp_last, NEG_INF)
+        cls = jnp.arange(num_classes, dtype=jnp.int32)[None, None, :]
+        vals = lp_t[:, None, :]
 
-    # candidate keys
-    cls = jnp.arange(num_classes, dtype=jnp.uint32)
-    eh1 = h1[:, :, None] * _H1_MUL + (cls[None, None, :] + 1)
-    eh2 = h2[:, :, None] * _H2_MUL + (cls[None, None, :] + 1)
-    ext_last = jnp.broadcast_to(
-        jnp.arange(num_classes, dtype=jnp.int32)[None, None, :],
-        (batch, w, num_classes),
-    )
-    local_ids = parent_offset + jnp.arange(w, dtype=jnp.int32)
-    parent = jnp.broadcast_to(
-        local_ids[None, :, None], (batch, w, num_classes)
-    )
-
-    # flatten: [stay candidates (W)] + [extend candidates (W*C)]
-    cand_h1 = jnp.concatenate([h1, eh1.reshape(batch, -1)], axis=1)
-    cand_h2 = jnp.concatenate([h2, eh2.reshape(batch, -1)], axis=1)
-    cand_pb = jnp.concatenate(
-        [stay_pb, jnp.full((batch, w * num_classes), NEG_INF)], axis=1
-    )
-    cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(batch, -1)], axis=1)
-    cand_parent = jnp.concatenate(
-        [jnp.broadcast_to(local_ids[None, :], (batch, w)),
-         parent.reshape(batch, -1)],
-        axis=1,
-    )
-    cand_char = jnp.concatenate(
-        [jnp.full((batch, w), -1, jnp.int32), ext_last.reshape(batch, -1)],
-        axis=1,
-    )
-
-    # dead candidates must not collide with real hash runs: give them the
-    # max h1 and unique h2 values so they sort to the tail unmerged.
-    n_cand = cand_h1.shape[1]
-    dead = _logaddexp(cand_pb, cand_pnb) <= NEG_INF / 2
-    po = jnp.asarray(parent_offset).astype(jnp.uint32)
-    cand_h1 = jnp.where(dead, jnp.uint32(0xFFFFFFFF), cand_h1)
-    cand_h2 = jnp.where(
-        dead,
-        po * (1 + jnp.arange(n_cand, dtype=jnp.uint32))[None, :]
-        + jnp.arange(n_cand, dtype=jnp.uint32)[None, :],
-        cand_h2,
-    )
-    return cand_h1, cand_h2, cand_pb, cand_pnb, cand_parent, cand_char
-
-
-def expand_candidates_topk(pb, pnb, last, h1, h2, lp_t, topk_vals, topk_cls,
-                           blank, parent_offset=0, space=-1, bscore=None):
-    """Top-K-classes variant of :func:`expand_candidates` — the reference's
-    ``cutoff_top_n`` pruning (ctcdecode decoder.py:96-100; the Python
-    oracle applies the same per-frame class cut) moved on device: extension
-    candidates expand only the frame's K most probable classes, shrinking
-    the per-step candidate sort from W*(C+1) to W*(K+1) entries.
-
-    topk_vals/topk_cls are (B, K) from lax.top_k over the frame's
-    log-probs; the stay path still uses the full ``lp_t`` row (blank and
-    last-char repeat need their exact probabilities regardless of the
-    cut). ``bscore`` (B, W), when given, is the LM word-boundary bonus
-    applied where the expanded class is ``space``.
-    """
-    batch, w = pb.shape
-    k = topk_cls.shape[-1]
-    num_classes = lp_t.shape[-1]
-    total = _logaddexp(pb, pnb)  # (B, W)
-
-    # the oracle's cut applies to EVERY class including blank/last: the
-    # stay path only contributes when those classes survive the frame cut
-    lp_blank = lp_t[:, blank][:, None]
-    lp_last = jnp.take_along_axis(
-        lp_t, jnp.clip(last, 0, num_classes - 1), axis=-1
-    )
-    blank_in = jnp.any(topk_cls == blank, axis=-1)[:, None]  # (B, 1)
-    last_in = jnp.any(
-        topk_cls[:, None, :] == last[:, :, None], axis=-1
-    )  # (B, W)
-    stay_pb = jnp.where(blank_in, total + lp_blank, NEG_INF)
-    stay_pnb = jnp.where(last_in & (last >= 0), pnb + lp_last, NEG_INF)
-
-    cls = topk_cls[:, None, :]  # (B, 1, K)
-    vals = topk_vals[:, None, :]  # (B, 1, K)
+    # extend with class c: from total, except c == last extends only from
+    # pb (the repeat-after-blank path)
     base = total[:, :, None] + vals
     rep = pb[:, :, None] + vals
     is_last = cls == last[:, :, None]
-    ext_pnb = jnp.where(is_last, rep, base)  # (B, W, K)
+    ext = jnp.where(is_last, rep, base)  # (B, W, K)
     if bscore is not None:
-        ext_pnb = ext_pnb + jnp.where(cls == space, bscore[:, :, None], 0.0)
-    ext_pnb = jnp.where(cls == blank, NEG_INF, ext_pnb)
-
-    cls_u = (topk_cls[:, None, :] + 1).astype(jnp.uint32)
-    eh1 = h1[:, :, None] * _H1_MUL + cls_u
-    eh2 = h2[:, :, None] * _H2_MUL + cls_u
-    ext_last = jnp.broadcast_to(cls, (batch, w, k)).astype(jnp.int32)
-    local_ids = parent_offset + jnp.arange(w, dtype=jnp.int32)
-    parent = jnp.broadcast_to(local_ids[None, :, None], (batch, w, k))
-
-    cand_h1 = jnp.concatenate([h1, eh1.reshape(batch, -1)], axis=1)
-    cand_h2 = jnp.concatenate([h2, eh2.reshape(batch, -1)], axis=1)
-    cand_pb = jnp.concatenate(
-        [stay_pb, jnp.full((batch, w * k), NEG_INF)], axis=1
-    )
-    cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(batch, -1)], axis=1)
-    cand_parent = jnp.concatenate(
-        [jnp.broadcast_to(local_ids[None, :], (batch, w)),
-         parent.reshape(batch, -1)],
-        axis=1,
-    )
-    cand_char = jnp.concatenate(
-        [jnp.full((batch, w), -1, jnp.int32), ext_last.reshape(batch, -1)],
-        axis=1,
-    )
-
-    n_cand = cand_h1.shape[1]
-    dead = _logaddexp(cand_pb, cand_pnb) <= NEG_INF / 2
-    po = jnp.asarray(parent_offset).astype(jnp.uint32)
-    cand_h1 = jnp.where(dead, jnp.uint32(0xFFFFFFFF), cand_h1)
-    cand_h2 = jnp.where(
-        dead,
-        po * (1 + jnp.arange(n_cand, dtype=jnp.uint32))[None, :]
-        + jnp.arange(n_cand, dtype=jnp.uint32)[None, :],
-        cand_h2,
-    )
-    return cand_h1, cand_h2, cand_pb, cand_pnb, cand_parent, cand_char
+        ext = ext + jnp.where(cls == space, bscore[:, :, None], 0.0)
+    ext = jnp.where(cls == blank, NEG_INF, ext)
+    return stay_pb, stay_pnb, ext
 
 
-_PACK = 4096  # packed payload stride: char+1 < 4096, parent < 2^19
+def ptr_merge_select(stay_pb, stay_pnb, ext, last, h1, h2, ph1, ph2, w,
+                     topk_cls=None):
+    """Fold duplicate extensions into their stay candidates via the
+    parent-hash match, then select the top ``w`` distinct candidates with
+    one ``lax.top_k``.
 
-
-def merge_top_w(cands, w):
-    """Sort candidates by hash pair, merge duplicate prefixes with a
-    segmented log-sum-exp, keep the top ``w`` by total probability.
-
-    Returns (pb, pnb, h1, h2, parent, char), each (B, w). The sort carries
-    only 5 operands (2 hash keys, the two probability streams, and parent/
-    char packed into one int32) — everything else about the merged front
-    (``last``, the LM state) is a pure function of (parent, char) and is
-    rebuilt by the caller.
+    All front arrays are the FULL (B, W) front (replicated in the sharded
+    decoder); ext is (B, W, K). Returns the new front
+    (pb, pnb, last, h1, h2, ph1, ph2) plus backtrack pointers
+    (parent, char), each (B, w).
     """
-    cand_h1, cand_h2, cand_pb, cand_pnb, cand_parent, cand_char = cands
-    batch = cand_h1.shape[0]
-    packed = cand_parent * _PACK + (cand_char + 1)
-    sh1, sh2, s_pb, s_pnb, s_packed = jax.lax.sort(
-        (cand_h1, cand_h2, cand_pb, cand_pnb, packed),
-        dimension=1,
-        num_keys=2,
-    )
-    first = jnp.concatenate(
-        [
-            jnp.ones((batch, 1), bool),
-            (sh1[:, 1:] != sh1[:, :-1]) | (sh2[:, 1:] != sh2[:, :-1]),
-        ],
-        axis=1,
-    )
-    m_pb, m_pnb = _segmented_logsumexp2(s_pb, s_pnb, first)
-    m_total = _logaddexp(m_pb, m_pnb)
+    batch, w_in, k = ext.shape
+    num_flat = w_in * k
 
-    _, top_idx = jax.lax.top_k(m_total, w)  # (B, w)
-    take = lambda arr: jnp.take_along_axis(arr, top_idx, axis=1)
-    t_packed = take(s_packed)
-    parent = t_packed // _PACK
-    char = t_packed % _PACK - 1
-    return take(m_pb), take(m_pnb), take(sh1), take(sh2), parent, char
+    # --- duplicate fold: ext(j, last_i) -> stay(i) ----------------------
+    mergeable = last >= 0  # (B, W)
+    pmatch = (
+        (ph1[:, :, None] == h1[:, None, :])
+        & (ph2[:, :, None] == h2[:, None, :])
+        & mergeable[:, :, None]
+    )  # (B, W_i, W_j)
+    found = jnp.any(pmatch, axis=-1)
+    j_of_i = jnp.argmax(pmatch, axis=-1).astype(jnp.int32)  # (B, W)
+    if topk_cls is not None:
+        cmatch = topk_cls[:, None, :] == last[:, :, None]  # (B, W, K)
+        present = jnp.any(cmatch, axis=-1)
+        c_of_i = jnp.argmax(cmatch, axis=-1).astype(jnp.int32)
+    else:
+        present = mergeable
+        c_of_i = jnp.clip(last, 0, k - 1)
+    can_merge = found & present  # (B, W)
+
+    ext_flat = ext.reshape(batch, num_flat)
+    gidx = j_of_i * k + c_of_i
+    contrib = jnp.take_along_axis(ext_flat, gidx, axis=1)
+    stay_pnb = _logaddexp(
+        stay_pnb, jnp.where(can_merge, contrib, NEG_INF)
+    )
+    # kill the folded ext entries (at most one (j, c) per i — distinct
+    # beams with the same parent AND same last char would be equal)
+    ohj = ((jnp.arange(w_in)[None, None, :] == j_of_i[:, :, None])
+           & can_merge[:, :, None]).astype(jnp.float32)  # (B, W_i, W_j)
+    ohc = (jnp.arange(k)[None, None, :] == c_of_i[:, :, None]).astype(
+        jnp.float32
+    )  # (B, W_i, K)
+    killed = jnp.einsum("biw,bik->bwk", ohj, ohc) > 0.5
+    ext_flat = jnp.where(killed.reshape(batch, num_flat), NEG_INF, ext_flat)
+
+    # --- top-W over distinct candidates ---------------------------------
+    stay_tot = _logaddexp(stay_pb, stay_pnb)
+    cand = jnp.concatenate([stay_tot, ext_flat], axis=1)
+    top_val, top_idx = jax.lax.top_k(cand, w)  # (B, w)
+    is_stay = top_idx < w_in
+    eidx = jnp.clip(top_idx - w_in, 0, num_flat - 1)
+    src = jnp.where(is_stay, top_idx, eidx // k).astype(jnp.int32)
+    kpos = eidx % k
+    if topk_cls is not None:
+        ch = jnp.take_along_axis(topk_cls, kpos, axis=1).astype(jnp.int32)
+    else:
+        ch = kpos.astype(jnp.int32)
+    ch = jnp.where(is_stay, -1, ch)
+
+    g = lambda a: jnp.take_along_axis(a, src, axis=1)
+    n_pb = jnp.where(is_stay, g(stay_pb), NEG_INF)
+    n_pnb = jnp.where(is_stay, g(stay_pnb), jnp.take_along_axis(ext_flat, eidx, axis=1))
+    hp1, hp2 = g(h1), g(h2)
+    chu = (ch + 1).astype(jnp.uint32)
+    n_h1 = jnp.where(is_stay, hp1, hp1 * _H1_MUL + chu)
+    n_h2 = jnp.where(is_stay, hp2, hp2 * _H2_MUL + chu)
+    n_ph1 = jnp.where(is_stay, g(ph1), hp1)
+    n_ph2 = jnp.where(is_stay, g(ph2), hp2)
+    n_last = jnp.where(is_stay, g(last), ch)
+
+    # dead winners (filler slots while the front is still narrow) get the
+    # unique sentinel hashes so they never alias a live prefix
+    dead = top_val <= NEG_INF / 2
+    lane = jnp.arange(w, dtype=jnp.uint32)[None, :]
+    n_h1 = jnp.where(dead, _DEAD_H1, n_h1)
+    n_h2 = jnp.where(dead, lane, n_h2)
+    n_ph1 = jnp.where(dead, _DEAD_PH1, n_ph1)
+    n_ph2 = jnp.where(dead, lane, n_ph2)
+    n_last = jnp.where(dead, -1, n_last)
+    n_pb = jnp.where(dead, NEG_INF, n_pb)
+    n_pnb = jnp.where(dead, NEG_INF, n_pnb)
+    bk_char = jnp.where(dead, -1, ch)
+    return (n_pb, n_pnb, n_last, n_h1, n_h2, n_ph1, n_ph2), (src, bk_char)
 
 
 @functools.partial(
@@ -315,12 +250,7 @@ def ctc_beam_search_device(
     w = beam_width
     log_probs = jnp.log(jnp.clip(probs, 1e-30, None)).astype(jnp.float32)
 
-    # beam state
-    pb = jnp.full((batch, w), NEG_INF).at[:, 0].set(0.0)
-    pnb = jnp.full((batch, w), NEG_INF)
-    last = jnp.full((batch, w), -1, jnp.int32)
-    h1 = jnp.zeros((batch, w), jnp.uint32)
-    h2 = jnp.zeros((batch, w), jnp.uint32)
+    front0 = init_front(batch, w)
 
     if lm is not None:
         from .device_lm import (
@@ -337,11 +267,13 @@ def ctc_beam_search_device(
     use_topk = cutoff_top_n < num_classes
 
     def step(state, inputs):
-        pb, pnb, last, h1, h2, lm_state = state
+        (pb, pnb, last, h1, h2, ph1, ph2), lm_state = state
         lp_t, t = inputs  # (B, C), scalar
 
         if use_topk:
             topk_vals, topk_cls = jax.lax.top_k(lp_t, cutoff_top_n)
+        else:
+            topk_vals = topk_cls = None
 
         if lm is not None:
             if use_topk:
@@ -363,25 +295,14 @@ def ctc_beam_search_device(
         else:
             bscore = None
 
-        if use_topk:
-            cands = expand_candidates_topk(
-                pb, pnb, last, h1, h2, lp_t, topk_vals, topk_cls, blank,
-                parent_offset=0, space=space, bscore=bscore,
-            )
-        else:
-            ext_bonus = None
-            if bscore is not None:
-                ext_bonus = (
-                    jnp.zeros((batch, w, num_classes))
-                    .at[:, :, space]
-                    .set(bscore)
-                )
-            cands = expand_candidates(
-                pb, pnb, last, h1, h2, lp_t, blank, parent_offset=0,
-                ext_bonus=ext_bonus,
-            )
-        (n_pb, n_pnb, n_h1, n_h2, bk_parent, bk_char) = merge_top_w(
-            cands, w
+        stay_pb, stay_pnb, ext = stay_ext_candidates(
+            pb, pnb, last, lp_t, blank,
+            topk_vals=topk_vals, topk_cls=topk_cls,
+            space=space, bscore=bscore,
+        )
+        front, (bk_parent, bk_char) = ptr_merge_select(
+            stay_pb, stay_pnb, ext, last, h1, h2, ph1, ph2, w,
+            topk_cls=topk_cls,
         )
 
         # freeze state for rows past their length
@@ -392,25 +313,17 @@ def ctc_beam_search_device(
             active, bk_parent, jnp.arange(w, dtype=jnp.int32)[None, :]
         )
         bk_char = jnp.where(active, bk_char, jnp.full((batch, w), -1, jnp.int32))
-        # ``last`` (like the LM state) is a pure function of (parent, char):
-        # rebuilt instead of riding the candidate sort; the frozen-row
-        # identity pointers keep it intact automatically
-        n_last = jnp.where(
-            bk_char >= 0, bk_char, jnp.take_along_axis(last, bk_parent, axis=1)
-        )
         if lm is not None:
             lm_state = reconstruct_lm_state(
                 lm_state, bk_parent, bk_char, wid, space
             )
-        new_state = (
-            keep(n_pb, pb), keep(n_pnb, pnb), n_last,
-            keep(n_h1, h1), keep(n_h2, h2), lm_state,
-        )
-        return new_state, (bk_parent, bk_char)
+        old = (pb, pnb, last, h1, h2, ph1, ph2)
+        new_front = tuple(keep(n, o) for n, o in zip(front, old))
+        return (new_front, lm_state), (bk_parent, bk_char)
 
-    (pb, pnb, last, h1, h2, lm_state), (parents, chars) = jax.lax.scan(
+    ((pb, pnb, last, *_), lm_state), (parents, chars) = jax.lax.scan(
         step,
-        (pb, pnb, last, h1, h2, lm_state0),
+        (front0, lm_state0),
         (jnp.transpose(log_probs, (1, 0, 2)), jnp.arange(t_max)),
     )
     if lm is not None:
@@ -436,50 +349,33 @@ def backtrack_beams(pb, pnb, parents, chars, t_max, extra_scores=None):
     order = jnp.argsort(-scores, axis=1)
     scores = jnp.take_along_axis(scores, order, axis=1)
 
-    # ---- backtrack (device): walk parent pointers from the end --------
-    def backtrack(carry, inputs):
-        beam_idx, pos, labels, times = carry
-        par_t, chr_t, t = inputs  # (B, W), (B, W), scalar
+    # ---- backtrack (device): walk parent pointers from the end with a
+    # tiny (B, W) carry, emitting each step's on-path char --------------
+    def backtrack(beam_idx, inputs):
+        par_t, chr_t = inputs  # (B, W), (B, W)
         ch = jnp.take_along_axis(chr_t, beam_idx, axis=1)  # (B, W)
-        emitted = ch >= 0
-        pos = pos - emitted.astype(jnp.int32)
-        # write ch at pos where emitted
-        labels = jax.vmap(
-            lambda lab, p, c, e: jax.vmap(
-                lambda lab_w, p_w, c_w, e_w: jnp.where(
-                    e_w, lab_w.at[p_w].set(c_w), lab_w
-                )
-            )(lab, p, c, e)
-        )(labels, pos, ch, emitted)
-        times = jax.vmap(
-            lambda tm, p, e: jax.vmap(
-                lambda tm_w, p_w, e_w: jnp.where(
-                    e_w, tm_w.at[p_w].set(t), tm_w
-                )
-            )(tm, p, e)
-        )(times, pos, emitted)
         beam_idx = jnp.take_along_axis(par_t, beam_idx, axis=1)
-        return (beam_idx, pos, labels, times), None
+        return beam_idx, ch
 
-    # sequence lengths: count emissions along the winning path, so run the
-    # backtrack twice — once to count, once to place. Simpler: place from
-    # the end into position T-1..0, then roll left afterwards.
     b_idx = jnp.broadcast_to(order, (batch, w)).astype(jnp.int32)
-    labels0 = jnp.full((batch, w, t_max), -1, jnp.int32)
-    times0 = jnp.zeros((batch, w, t_max), jnp.int32)
-    pos0 = jnp.full((batch, w), t_max, jnp.int32)
-    (_, pos_end, labels, times), _ = jax.lax.scan(
-        backtrack,
-        (b_idx, pos0, labels0, times0),
-        (parents[::-1], chars[::-1], jnp.arange(t_max)[::-1]),
+    _, path = jax.lax.scan(backtrack, b_idx, (parents[::-1], chars[::-1]))
+    path = jnp.transpose(path[::-1], (1, 2, 0))  # (B, W, T), time order
+
+    # compact the emitted (>= 0) chars to the front, preserving time
+    # order, with ONE small argsort per row instead of T scatter steps
+    emitted = path >= 0
+    lens = emitted.sum(axis=-1).astype(jnp.int32)  # (B, W)
+    t_idx = jnp.arange(t_max, dtype=jnp.int32)
+    pos = jnp.cumsum(emitted, axis=-1) - 1  # emission rank in time order
+    key = jnp.where(emitted, pos, t_max + t_idx)
+    perm = jnp.argsort(key, axis=-1)
+    labels = jnp.take_along_axis(path, perm, axis=-1)
+    times = jnp.take_along_axis(
+        jnp.broadcast_to(t_idx, path.shape), perm, axis=-1
     )
-    lens = t_max - pos_end  # (B, W)
-    # shift each row's labels left by pos_end
-    shift = pos_end[:, :, None]
-    idx = (jnp.arange(t_max)[None, None, :] + shift) % t_max
-    labels = jnp.take_along_axis(labels, idx, axis=2)
-    times = jnp.take_along_axis(times, idx, axis=2)
-    labels = jnp.where(jnp.arange(t_max)[None, None, :] < lens[:, :, None], labels, -1)
+    valid = t_idx[None, None, :] < lens[:, :, None]
+    labels = jnp.where(valid, labels, -1)
+    times = jnp.where(valid, times, 0)
     return labels, times, lens, scores
 
 
@@ -515,6 +411,8 @@ class DeviceBeamDecoder:
                 from .lm import load_lm
 
                 lm = load_lm(lm)
+            if hasattr(lm, "to_ngram_lm"):  # trie .klm: walkable
+                lm = lm.to_ngram_lm()
             if not isinstance(lm, DeviceLM):
                 lm = pack_device_lm(lm, labels)
         self.lm = lm

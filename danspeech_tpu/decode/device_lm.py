@@ -19,8 +19,19 @@ tables in HBM and scores words *inside* the jitted beam-search step:
 - :func:`init_lm_state` / :func:`reconstruct_lm_state` thread the per-beam
   LM state (last order-1 word ids, rolling current-word hash) through the
   beam scan: state is recomputed from each merged candidate's
-  (parent, emitted char) pointer, so the candidate sort in
-  device_beam.merge_top_w carries no extra payload.
+  (parent, emitted char) pointer, so the parent-pointer merge in
+  device_beam.ptr_merge_select carries no extra payload.
+
+HBM-gather layout (the probes are the dominant per-step decode cost, and
+XLA TPU gathers cost per gathered ROW, not per byte): the table is
+BUCKETIZED — a query hashes to one bucket of ``max_probe`` entries, and
+each entry's key pair AND value pair live in the same (P, 4)-word bucket
+row — so a probe is ONE gather index fetching one contiguous 64-byte
+block, instead of P window slots x separate key/value arrays. The backoff
+recursion's 2*(order-1)+1 n-gram lookups are additionally stacked into
+ONE probe call. The builder grows the bucket count until no bucket
+overflows, so lookup is always a single-row gather; ``load`` trades
+memory for fewer overflow retries on skewed key sets.
 
 Scoring semantics match the host scorers (decode/lm.py NgramLM /
 native/ctcbeam): natural-log probabilities, OOV words at -1000, OOV
@@ -46,8 +57,9 @@ _NM1 = 0x9E3779B1
 _NM2 = 0x85EBCA77
 _NG_SEED1 = 0x811C9DC5
 _NG_SEED2 = 0xC2B2AE35
-# slot-index mix
+# bucket-index mixes (one per hash choice)
 _SLOT_MIX = 0x7FEB352D
+_SLOT_MIX2 = 0x846CA68B
 
 
 def _h_word(char_ids) -> tuple[int, int]:
@@ -70,80 +82,83 @@ def _h_ngram(word_ids) -> tuple[int, int]:
     return h1, h2
 
 
-def _slot(h1: int, h2: int, size: int) -> int:
-    return ((h1 ^ ((h2 * _SLOT_MIX) & _M32)) & _M32) % size
+def _buckets2(h1: int, h2: int, n_buckets: int) -> tuple[int, int]:
+    """Host-side candidate bucket pair of a key (two-choice hashing)."""
+    b1 = ((h1 ^ ((h2 * _SLOT_MIX) & _M32)) & _M32) % n_buckets
+    b2 = ((h2 ^ ((h1 * _SLOT_MIX2) & _M32)) & _M32) % n_buckets
+    return b1, b2
 
 
-class _TableBuilder:
-    """Open-addressing insert with a bounded probe window; grows and
-    rehashes when any entry would land further than max_probe slots from
-    its home, so the device lookup can gather a fixed-size window.
+class _BucketTableBuilder:
+    """Two-choice bucketized hash table: each key may live in either of
+    two candidate buckets of ``max_probe`` entry lanes (greedy less-full
+    placement — the classic power-of-two-choices load balance), and every
+    lane packs (k1, k2, v0, v1) into four consecutive 32-bit words. The
+    device lookup gathers exactly TWO contiguous (max_probe, 4)-word
+    bucket rows per query — independent of table size — and matches
+    across the 2 x max_probe lanes. Grows the bucket count and rehashes
+    in the (rare, load-bounded) case both candidate buckets overflow."""
 
-    The window size is the dominant device-side LM cost (every beam's
-    boundary score gathers (2*order+1) probes x window slots per frame),
-    so the table trades memory for a small window: 2.5x load headroom
-    keeps displacements < 8 for virtually all entries, and the
-    grow-and-retry loop guarantees the bound."""
-
-    def __init__(self, n_entries: int, n_values: int, max_probe: int):
+    def __init__(self, n_entries: int, n_values: int, max_probe: int,
+                 load: float):
+        if n_values > 2:
+            raise ValueError("bucket slots pack at most 2 values")
         self.max_probe = max_probe
         self.n_values = n_values
-        self.size = max(8, int(n_entries * 2.5))
+        # load = slot headroom (1.0 = exactly as many lanes as entries)
+        self.n_buckets = max(2, int(n_entries * load / max_probe) + 1)
         self._alloc()
 
     def _alloc(self):
-        self.k1 = np.zeros(self.size, np.uint32)
-        self.k2 = np.zeros(self.size, np.uint32)
-        self.values = np.zeros((self.size, self.n_values), np.float32)
+        # (nb, P, 4) u32: [k1, k2, value0, value1] (values pre-bitcast)
+        self.table = np.zeros((self.n_buckets, self.max_probe, 4), np.uint32)
+        self.fill = np.zeros(self.n_buckets, np.int32)
 
     def insert_all(self, entries):
-        """entries: list of (h1, h2, value-tuple). Retries with a larger
-        table until every displacement fits the probe window."""
+        """entries: list of (h1, h2, value-tuple of raw uint32 words).
+        Retries with more buckets until nothing overflows."""
         while True:
             self._alloc()
             if all(self._insert(*e) for e in entries):
                 return
-            self.size = int(self.size * 1.5)
+            self.n_buckets = int(self.n_buckets * 1.5) + 1
 
     def _insert(self, h1, h2, vals) -> bool:
-        i = _slot(h1, h2, self.size)
-        for d in range(self.max_probe):
-            j = (i + d) % self.size
-            if self.k1[j] == 0 and self.k2[j] == 0:
-                self.k1[j] = h1
-                self.k2[j] = h2
-                self.values[j] = vals
-                return True
-            if self.k1[j] == h1 and self.k2[j] == h2:
+        cands = _buckets2(h1, h2, self.n_buckets)
+        for b in cands:
+            lanes = self.table[b, : self.fill[b]]
+            if ((lanes[:, 0] == h1) & (lanes[:, 1] == h2)).any():
                 raise ValueError("duplicate key in device LM table")
-        return False
+        b = min(cands, key=lambda c: self.fill[c])
+        if self.fill[b] >= self.max_probe:
+            return False
+        lane = self.fill[b]
+        self.table[b, lane, 0] = h1
+        self.table[b, lane, 1] = h2
+        for i, v in enumerate(vals):
+            self.table[b, lane, 2 + i] = v
+        self.fill[b] += 1
+        return True
 
 
 @jax.tree_util.register_pytree_node_class
 class DeviceLM:
     """N-gram LM packed as device arrays; a jit-traceable pytree whose
-    static aux data is (order, max_probe)."""
+    static aux data is (order, max_probe).
 
-    def __init__(
-        self, order, max_probe,
-        ng_k1, ng_k2, ng_prob, ng_backoff,
-        voc_k1, voc_k2, voc_id,
-    ):
+    ng_table — (NB, P, 4) uint32 buckets: [k1, k2, ln-prob (bitcast f32),
+    ln-backoff (bitcast f32)] per entry lane;
+    voc_table — (VB, P, 4) uint32 buckets: [k1, k2, word id, 0].
+    """
+
+    def __init__(self, order, max_probe, ng_table, voc_table):
         self.order = int(order)
         self.max_probe = int(max_probe)
-        self.ng_k1 = ng_k1
-        self.ng_k2 = ng_k2
-        self.ng_prob = ng_prob
-        self.ng_backoff = ng_backoff
-        self.voc_k1 = voc_k1
-        self.voc_k2 = voc_k2
-        self.voc_id = voc_id
+        self.ng_table = ng_table
+        self.voc_table = voc_table
 
     def tree_flatten(self):
-        children = (
-            self.ng_k1, self.ng_k2, self.ng_prob, self.ng_backoff,
-            self.voc_k1, self.voc_k2, self.voc_id,
-        )
+        children = (self.ng_table, self.voc_table)
         return children, (self.order, self.max_probe)
 
     @classmethod
@@ -151,7 +166,8 @@ class DeviceLM:
         return cls(*aux, *children)
 
 
-def pack_device_lm(lm, labels: str, max_probe: int = 8) -> DeviceLM:
+def pack_device_lm(lm, labels: str, max_probe: int = 4,
+                   load: float = 1.6) -> DeviceLM:
     """Pack an NgramLM (decode/lm.py) into a :class:`DeviceLM`.
 
     ``labels`` is the acoustic label string: the vocabulary table is keyed
@@ -178,29 +194,28 @@ def pack_device_lm(lm, labels: str, max_probe: int = 8) -> DeviceLM:
                 f"vocab hash collision: {word!r} vs {lm.words[seen[key]]!r}"
             )
         seen[key] = wid
-        voc_entries.append((key[0], key[1], (np.float32(wid),)))
+        voc_entries.append((key[0], key[1], (np.uint32(wid),)))
 
     ng_entries = []
     for table in lm.tables:
         for ids, (prob, backoff) in table.items():
             h1, h2 = _h_ngram(ids)
-            ng_entries.append((h1, h2, (prob, backoff)))
+            ng_entries.append((
+                h1, h2,
+                (np.float32(prob).view(np.uint32),
+                 np.float32(backoff).view(np.uint32)),
+            ))
 
-    vt = _TableBuilder(len(voc_entries), 1, max_probe)
+    vt = _BucketTableBuilder(len(voc_entries), 1, max_probe, load)
     vt.insert_all(voc_entries)
-    nt = _TableBuilder(len(ng_entries), 2, max_probe)
+    nt = _BucketTableBuilder(len(ng_entries), 2, max_probe, load)
     nt.insert_all(ng_entries)
 
     return DeviceLM(
         order=lm.order,
         max_probe=max_probe,
-        ng_k1=jnp.asarray(nt.k1),
-        ng_k2=jnp.asarray(nt.k2),
-        ng_prob=jnp.asarray(nt.values[:, 0]),
-        ng_backoff=jnp.asarray(nt.values[:, 1]),
-        voc_k1=jnp.asarray(vt.k1),
-        voc_k2=jnp.asarray(vt.k2),
-        voc_id=jnp.asarray(vt.values[:, 0].astype(np.int32)),
+        ng_table=jnp.asarray(nt.table),
+        voc_table=jnp.asarray(vt.table),
     )
 
 
@@ -209,32 +224,42 @@ def pack_device_lm(lm, labels: str, max_probe: int = 8) -> DeviceLM:
 # ---------------------------------------------------------------------------
 
 
-def _probe(tk1, tk2, q1, q2, max_probe: int):
-    """Vectorized bounded linear probe. Returns (found, slot) with
-    ``slot`` valid only where ``found``; q1/q2 are uint32 of any shape."""
-    size = tk1.shape[0]
-    idx0 = (q1 ^ (q2 * jnp.uint32(_SLOT_MIX))) % jnp.uint32(size)
-    window = jnp.arange(max_probe, dtype=jnp.uint32)
-    idx = (idx0[..., None] + window) % jnp.uint32(size)
-    gk1 = tk1[idx]
-    gk2 = tk2[idx]
-    match = (gk1 == q1[..., None]) & (gk2 == q2[..., None])
+def _probe(table, q1, q2):
+    """Vectorized two-choice bucket probe against a packed (NB, P, 4)
+    table. Returns (found, vals_u32) with vals (..., 2) raw table words
+    (zero where not found); q1/q2 are uint32 of any (matching) shape. TWO
+    gather rows per query — each one contiguous (P, 4)-word bucket."""
+    nb = jnp.uint32(table.shape[0])
+    b1 = (q1 ^ (q2 * jnp.uint32(_SLOT_MIX))) % nb
+    b2 = (q2 ^ (q1 * jnp.uint32(_SLOT_MIX2))) % nb
+    rows = jnp.concatenate([table[b1], table[b2]], axis=-2)  # (..., 2P, 4)
+    match = (rows[..., 0] == q1[..., None]) & (rows[..., 1] == q2[..., None])
     found = jnp.any(match, axis=-1)
-    j = jnp.argmax(match, axis=-1)
-    slot = jnp.take_along_axis(idx, j[..., None].astype(jnp.uint32), axis=-1)[..., 0]
-    return found, slot.astype(jnp.int32)
+    # at most one DISTINCT lane matches (when b1 == b2 the same lane shows
+    # up twice) — max over u32 picks the value either way, zeros elsewhere
+    vals = jnp.max(
+        jnp.where(match[..., None], rows[..., 2:4], np.uint32(0)), axis=-2
+    )
+    return found, vals
 
 
 def lookup_word_ids(lm: DeviceLM, wh1, wh2):
     """Map rolling word hashes to word ids; -1 where the word is OOV."""
-    found, slot = _probe(lm.voc_k1, lm.voc_k2, wh1, wh2, lm.max_probe)
-    return jnp.where(found, lm.voc_id[slot], -1)
+    found, vals = _probe(lm.voc_table, wh1, wh2)
+    return jnp.where(found, vals[..., 0].astype(jnp.int32), -1)
 
 
-def _ngram_probe(lm: DeviceLM, q1, q2):
-    found, slot = _probe(lm.ng_k1, lm.ng_k2, q1, q2, lm.max_probe)
-    prob = jnp.where(found, lm.ng_prob[slot], 0.0)
-    backoff = jnp.where(found, lm.ng_backoff[slot], 0.0)
+def _ngram_probe_stacked(lm: DeviceLM, q1, q2):
+    """Probe a stack of n-gram queries (..., Q) in one two-row bucket
+    gather. Returns (found, prob, backoff), each (..., Q)."""
+    # the (0,0) -> (1,1) sentinel remap of the host packer
+    sent = (q1 == 0) & (q2 == 0)
+    q1 = jnp.where(sent, jnp.uint32(1), q1)
+    q2 = jnp.where(sent, jnp.uint32(1), q2)
+    found, vals = _probe(lm.ng_table, q1, q2)
+    fv = jax.lax.bitcast_convert_type(vals, jnp.float32)  # (..., Q, 2)
+    prob = jnp.where(found, fv[..., 0], 0.0)
+    backoff = jnp.where(found, fv[..., 1], 0.0)
     return found, prob, backoff
 
 
@@ -271,7 +296,8 @@ def score_word_ids(lm: DeviceLM, ctx, wid):
 
     ctx: (..., order-1) int32 word ids oldest-first, -1 = absent/OOV slot;
     wid: (...,) int32, -1 = OOV (scores OOV_SCORE). Matches
-    NgramLM.score_word_ids / the native C++ scorer semantics.
+    NgramLM.score_word_ids / the native C++ scorer semantics. All
+    2*(order-1)+1 backoff-recursion lookups go out as ONE stacked probe.
     """
     kmax = lm.order - 1
     seed1 = jnp.uint32(_NG_SEED1)
@@ -279,9 +305,15 @@ def score_word_ids(lm: DeviceLM, ctx, wid):
     wid_safe = jnp.maximum(wid, 0)
 
     if kmax == 0:
-        h1, h2 = _chain(seed1, seed2, wid_safe)
-        found, prob, _ = _ngram_probe(lm, h1, h2)
-        score = jnp.where(found, prob, OOV_SCORE)
+        h1, h2 = _chain(
+            jnp.broadcast_to(seed1, wid.shape),
+            jnp.broadcast_to(seed2, wid.shape),
+            wid_safe,
+        )
+        found, prob, _ = _ngram_probe_stacked(
+            lm, h1[..., None], h2[..., None]
+        )
+        score = jnp.where(found[..., 0], prob[..., 0], OOV_SCORE)
         return jnp.where(wid < 0, OOV_SCORE, score)
 
     cmp_ctx, m = _compact_context(ctx)
@@ -301,29 +333,29 @@ def score_word_ids(lm: DeviceLM, ctx, wid):
             h1, h2 = _chain(h1, h2, ctx_safe[..., p])
         suf1[klen], suf2[klen] = h1, h2
 
+    # stack ALL lookups into one probe: prob queries (suffix + word) for
+    # klen = kmax..0 at positions [0, kmax], then backoff queries (suffix
+    # alone) for klen = kmax..1 at positions [kmax+1, 2*kmax]
+    pq = [_chain(suf1[klen], suf2[klen], wid_safe) for klen in range(kmax, -1, -1)]
+    bq = [(suf1[klen], suf2[klen]) for klen in range(kmax, 0, -1)]
+    q1 = jnp.stack([q[0] for q in pq + bq], axis=-1)  # (..., 2*kmax+1)
+    q2 = jnp.stack([q[1] for q in pq + bq], axis=-1)
+    found, prob, backoff = _ngram_probe_stacked(lm, q1, q2)
+
     zero = jnp.zeros(wid.shape, jnp.float32)
     result = jnp.full(wid.shape, OOV_SCORE, jnp.float32)
     done = jnp.zeros(wid.shape, bool)
     backoff_acc = zero
     for klen in range(kmax, -1, -1):
+        pi = kmax - klen  # position of this level's prob query
         applicable = klen <= m
-        q1, q2 = _chain(suf1[klen], suf2[klen], wid_safe)
-        # the (0,0) -> (1,1) sentinel remap of the host packer
-        sent = (q1 == 0) & (q2 == 0)
-        q1 = jnp.where(sent, jnp.uint32(1), q1)
-        q2 = jnp.where(sent, jnp.uint32(1), q2)
-        found, prob, _ = _ngram_probe(lm, q1, q2)
-        hit = applicable & ~done & found
-        result = jnp.where(hit, backoff_acc + prob, result)
+        hit = applicable & ~done & found[..., pi]
+        result = jnp.where(hit, backoff_acc + prob[..., pi], result)
         done = done | hit
         if klen > 0:
-            bq1, bq2 = suf1[klen], suf2[klen]
-            bsent = (bq1 == 0) & (bq2 == 0)
-            bq1 = jnp.where(bsent, jnp.uint32(1), bq1)
-            bq2 = jnp.where(bsent, jnp.uint32(1), bq2)
-            bfound, _, bo = _ngram_probe(lm, bq1, bq2)
+            bi = kmax + 1 + (kmax - klen)  # this level's backoff query
             backoff_acc = backoff_acc + jnp.where(
-                applicable & ~done & bfound, bo, 0.0
+                applicable & ~done & found[..., bi], backoff[..., bi], 0.0
             )
     return jnp.where(wid < 0, OOV_SCORE, result)
 
@@ -369,8 +401,8 @@ def reconstruct_lm_state(lm_state, parent, char, wid, space: int):
     """LM state of each merged candidate from its (parent, emitted char).
 
     The LM state is a pure function of the prefix, and a merged candidate's
-    prefix is parent-prefix + char — so instead of sorting the LM state
-    through merge_top_w, gather the parent's state and apply one char
+    prefix is parent-prefix + char — so instead of carrying the LM state
+    through the merge, gather the parent's state and apply one char
     update. ``parent``/``char`` are the (B, W) backtrack pointers the merge
     emits (char -1 = no emission), ``wid`` the per-parent current-word ids
     from :func:`boundary_scores`.

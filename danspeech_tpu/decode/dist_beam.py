@@ -1,24 +1,28 @@
 """Cross-chip beam-parallel CTC search (SURVEY §2.5 "beam-search parallel").
 
-Beams shard over the mesh's data axis: each chip expands only its W/n-chip
-slice of the beam front (the W x C candidate construction and local sort
-are the per-step cost), the candidate arrays are exchanged with
+Beams shard over the mesh's data axis: each chip builds the stay/extension
+candidates (and probes the HBM-resident LM) for only its W/n-chip slice of
+the beam front, the candidate score arrays are exchanged with
 ``jax.lax.all_gather`` over ICI, and every chip runs the identical global
-merge + top-W prune — so the pruned beam state stays replicated and
-deterministic without a designated leader chip.
+parent-pointer merge + top-W selection (device_beam.ptr_merge_select) — so
+the pruned beam state stays replicated and deterministic without a
+designated leader chip.
 
-LM fusion rides the same exchange: each chip probes the HBM-resident
-n-gram tables (decode/device_lm.py) for its beam slice only, the per-beam
-word ids travel in the same all_gather as the candidates, and the merged
+LM fusion rides the same exchange: each chip probes the n-gram tables
+(decode/device_lm.py) for its beam slice only, the per-beam word ids
+travel in the same all_gather as the candidate scores, and the merged
 front's LM state is rebuilt from the global (parent, char) pointers — so
 the reference's ctcdecode+KenLM configuration
 (/root/reference/danspeech/deepspeech/decoder.py:96-144) scales across
-chips with cross-chip pruning (SURVEY §2.2 N2/N3 plan).
+chips with cross-chip pruning (SURVEY §2.2 N2/N3 plan). The reference's
+``cutoff_top_n`` per-frame class cut applies here too: the frame top-K is
+computed from the replicated log-probs, so every chip expands the same K
+classes and the exchange shrinks from W_local x C to W_local x K.
 
 This complements the data-parallel route (batch rows sharded, see
 parallel/batch.py): beam-parallel pays off when a single long utterance
 must decode with a very wide beam; DP pays off for throughput. Both ride
-the same expand/merge kernels in decode/device_beam.py.
+the same candidate/merge kernels in decode/device_beam.py.
 
 Runs on any mesh — validated on the CPU-simulated 8-device mesh in
 tests/test_dist_beam.py against the single-device decoder.
@@ -34,26 +38,25 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .device_beam import (
     NEG_INF,
-    expand_candidates,
-    merge_top_w,
+    init_front,
+    ptr_merge_select,
+    stay_ext_candidates,
 )
 
 
 def _sharded_search(lp, lengths, beam_width, blank, n_shards, axis,
-                    lm=None, alpha=0.0, beta=0.0, space=-1):
-    """shard_map body: lp is this chip's full (B, T, C) log-probs (replicated),
-    beams are logically sharded — each chip expands its slice."""
+                    lm=None, alpha=0.0, beta=0.0, space=-1,
+                    cutoff_top_n=40):
+    """shard_map body: lp is this chip's full (B, T, C) log-probs
+    (replicated), beams are logically sharded — each chip builds
+    candidates for its slice; the merged front stays replicated."""
     batch, t_max, num_classes = lp.shape
     w = beam_width
     w_local = w // n_shards
     shard = jax.lax.axis_index(axis)
     offset = shard * w_local
 
-    pb = jnp.full((batch, w), NEG_INF).at[:, 0].set(0.0)
-    pnb = jnp.full((batch, w), NEG_INF)
-    last = jnp.full((batch, w), -1, jnp.int32)
-    h1 = jnp.zeros((batch, w), jnp.uint32)
-    h2 = jnp.zeros((batch, w), jnp.uint32)
+    front0 = init_front(batch, w)
 
     if lm is not None:
         from .device_lm import (
@@ -66,10 +69,19 @@ def _sharded_search(lp, lengths, beam_width, blank, n_shards, axis,
     else:
         lm_state0 = None
 
+    use_topk = cutoff_top_n < num_classes
+    gather = lambda a: jnp.concatenate(jax.lax.all_gather(a, axis), axis=1)
+
     def step(state, inputs):
-        pb, pnb, last, h1, h2, lm_state = state
+        (pb, pnb, last, h1, h2, ph1, ph2), lm_state = state
         lp_t, t = inputs
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, offset, w_local, axis=1)
+
+        if use_topk:
+            # replicated input -> every chip computes the identical cut
+            topk_vals, topk_cls = jax.lax.top_k(lp_t, cutoff_top_n)
+        else:
+            topk_vals = topk_cls = None
 
         if lm is not None:
             # probe the LM only for this chip's beam slice
@@ -77,31 +89,39 @@ def _sharded_search(lp, lengths, beam_width, blank, n_shards, axis,
                 jax.lax.dynamic_slice_in_dim(a, offset, w_local, axis=1)
                 for a in lm_state
             )
-            bscore, wid_local = boundary_scores(lm, local_lm, alpha, beta)
-            ext_bonus = (
-                jnp.zeros((batch, w_local, num_classes))
-                .at[:, :, space]
-                .set(bscore)
-            )
+            if use_topk:
+                space_present = jnp.any(topk_cls == space)
+                bscore, wid_local = jax.lax.cond(
+                    space_present,
+                    lambda: boundary_scores(lm, local_lm, alpha, beta),
+                    lambda: (
+                        jnp.zeros((batch, w_local), jnp.float32),
+                        jnp.full((batch, w_local), -1, jnp.int32),
+                    ),
+                )
+            else:
+                bscore, wid_local = boundary_scores(lm, local_lm, alpha, beta)
         else:
-            ext_bonus = None
+            bscore = None
             wid_local = None
 
-        # expand ONLY this chip's beam slice; parents recorded globally
-        cands = expand_candidates(
-            sl(pb), sl(pnb), sl(last), sl(h1), sl(h2), lp_t, blank,
-            parent_offset=offset, ext_bonus=ext_bonus,
+        # candidates for ONLY this chip's beam slice
+        stay_pb_l, stay_pnb_l, ext_l = stay_ext_candidates(
+            sl(pb), sl(pnb), sl(last), lp_t, blank,
+            topk_vals=topk_vals, topk_cls=topk_cls,
+            space=space, bscore=bscore,
         )
-        # exchange candidate slices over ICI and merge the global front
-        gathered = tuple(
-            jnp.concatenate(
-                jax.lax.all_gather(c, axis), axis=1
-            )
-            for c in cands
+        # exchange candidate scores over ICI; shard order == global order,
+        # so the reassembled arrays line up with the replicated front
+        stay_pb = gather(stay_pb_l)
+        stay_pnb = gather(stay_pnb_l)
+        ext = gather(ext_l)
+        # identical global merge on every chip keeps the front replicated
+        front, (bk_parent, bk_char) = ptr_merge_select(
+            stay_pb, stay_pnb, ext, last, h1, h2, ph1, ph2, w,
+            topk_cls=topk_cls,
         )
-        n_pb, n_pnb, n_h1, n_h2, bk_parent, bk_char = merge_top_w(
-            gathered, w
-        )
+
         active = (t < lengths)[:, None]
         keep = lambda new, old: jnp.where(active, new, old)
         bk_parent = jnp.where(
@@ -110,27 +130,19 @@ def _sharded_search(lp, lengths, beam_width, blank, n_shards, axis,
         bk_char = jnp.where(
             active, bk_char, jnp.full((batch, w), -1, jnp.int32)
         )
-        # last rebuilt from (parent, char) against the replicated front
-        n_last = jnp.where(
-            bk_char >= 0, bk_char, jnp.take_along_axis(last, bk_parent, axis=1)
-        )
         if lm is not None:
-            # word ids ride the same exchange; shard order == global order
-            wid = jnp.concatenate(
-                jax.lax.all_gather(wid_local, axis), axis=1
-            )
+            # word ids ride the same exchange
+            wid = gather(wid_local)
             lm_state = reconstruct_lm_state(
                 lm_state, bk_parent, bk_char, wid, space
             )
-        new_state = (
-            keep(n_pb, pb), keep(n_pnb, pnb), n_last,
-            keep(n_h1, h1), keep(n_h2, h2), lm_state,
-        )
-        return new_state, (bk_parent, bk_char)
+        old = (pb, pnb, last, h1, h2, ph1, ph2)
+        new_front = tuple(keep(n, o) for n, o in zip(front, old))
+        return (new_front, lm_state), (bk_parent, bk_char)
 
-    (pb, pnb, last, h1, h2, lm_state), (parents, chars) = jax.lax.scan(
+    ((pb, pnb, last, *_), lm_state), (parents, chars) = jax.lax.scan(
         step,
-        (pb, pnb, last, h1, h2, lm_state0),
+        (front0, lm_state0),
         (jnp.transpose(lp, (1, 0, 2)), jnp.arange(t_max)),
     )
     if lm is not None:
@@ -153,6 +165,7 @@ def ctc_beam_search_beam_sharded(
     alpha: float = 0.0,
     beta: float = 0.0,
     space: int = -1,
+    cutoff_top_n: int = 40,
 ):
     """Beam-sharded search over ``mesh``'s ``axis``.
 
@@ -178,17 +191,18 @@ def ctc_beam_search_beam_sharded(
     batch, t_max, _ = probs.shape
     log_probs = jnp.log(jnp.clip(probs, 1e-30, None)).astype(jnp.float32)
 
+    body = functools.partial(
+        _sharded_search,
+        beam_width=beam_width,
+        blank=blank,
+        n_shards=n_shards,
+        axis=axis,
+        alpha=alpha,
+        beta=beta,
+        space=space,
+        cutoff_top_n=cutoff_top_n,
+    )
     if lm is not None:
-        body = functools.partial(
-            _sharded_search,
-            beam_width=beam_width,
-            blank=blank,
-            n_shards=n_shards,
-            axis=axis,
-            alpha=alpha,
-            beta=beta,
-            space=space,
-        )
         lm_specs = jax.tree_util.tree_map(lambda _: P(), lm)
         pb, pnb, parents, chars, extra = smap(
             lambda lp, lens, dlm: body(lp, lens, lm=dlm),
@@ -197,13 +211,6 @@ def ctc_beam_search_beam_sharded(
             out_specs=(P(), P(), P(), P(), P()),
         )(log_probs, lengths.astype(jnp.int32), lm)
     else:
-        body = functools.partial(
-            _sharded_search,
-            beam_width=beam_width,
-            blank=blank,
-            n_shards=n_shards,
-            axis=axis,
-        )
         pb, pnb, parents, chars, extra = smap(
             body,
             mesh=mesh,
@@ -235,12 +242,14 @@ class ShardedBeamDecoder:
         lm=None,
         alpha: float = 0.0,
         beta: float = 0.0,
+        cutoff_top_n: int = 40,
     ):
         self.labels = labels
         self.mesh = mesh
         self.axis = axis
         self.beam_width = beam_width
         self.blank_index = blank_index
+        self.cutoff_top_n = cutoff_top_n
         self.space_index = labels.index(" ") if " " in labels else -1
         self.alpha = alpha
         self.beta = beta
@@ -251,6 +260,8 @@ class ShardedBeamDecoder:
                 from .lm import load_lm
 
                 lm = load_lm(lm)
+            if hasattr(lm, "to_ngram_lm"):  # trie .klm: walkable
+                lm = lm.to_ngram_lm()
             if not isinstance(lm, DeviceLM):
                 lm = pack_device_lm(lm, labels)
         self.lm = lm
@@ -271,7 +282,7 @@ class ShardedBeamDecoder:
             probs, sizes, self.mesh, axis=self.axis,
             beam_width=self.beam_width, blank=self.blank_index,
             lm=self.lm, alpha=self.alpha, beta=self.beta,
-            space=self.space_index,
+            space=self.space_index, cutoff_top_n=self.cutoff_top_n,
         )
         top = self.beam_width if n_best is None else min(n_best, self.beam_width)
         labels, times = np.asarray(labels[:, :top]), np.asarray(times[:, :top])

@@ -249,6 +249,8 @@ class DanSpeechRecognizer:
             lm = load_lm(lm)
         if isinstance(lm, DeviceLM):
             return lm
+        if hasattr(lm, "to_ngram_lm"):  # trie .klm binaries are walkable
+            lm = lm.to_ngram_lm()
         if isinstance(lm, NgramLM):
             return pack_device_lm(lm, self.labels)
         raise ValueError(

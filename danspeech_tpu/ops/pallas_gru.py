@@ -281,6 +281,229 @@ def gru_scan_bidi(
     return out_f[:t_max], out_b[:t_max], hl_f, hl_b
 
 
+def _gru_bidi_fused_kernel(
+    xf_ref,  # (U, B, D) stream dtype — raw layer input, block min(i, nb-1)
+    xb_ref,  # (U, B, D) — block max(nb-1-i, 0)
+    len_ref,  # (B, 1) int32
+    wif_ref,  # (D, 3H) weights dtype — forward w_ih (VMEM-resident)
+    wib_ref,  # (D, 3H) — backward w_ih
+    whf_ref,  # (H, 3H)
+    whb_ref,  # (H, 3H)
+    bhf_ref,  # (1, 3H) float32
+    bhb_ref,  # (1, 3H) float32
+    bif_ref,  # (1, 3H) float32 — b_ih added at gx consumption
+    bib_ref,  # (1, 3H) float32
+    h0f_ref,  # (B, H) float32
+    h0b_ref,  # (B, H) float32
+    outf_ref,  # (U, B, H) — block max(i-1, 0)
+    outb_ref,  # (U, B, H) — block min(nb-i, nb-1)
+    hlf_ref,  # (B, H)
+    hlb_ref,  # (B, H)
+    hf_scr,  # (B, H) f32 VMEM
+    hb_scr,  # (B, H) f32 VMEM
+    gxf_scr,  # (2, U, B, 3H) f32 VMEM — double-buffered fwd projection
+    gxb_scr,  # (2, U, B, 3H) f32 VMEM
+    *,
+    hidden: int,
+    unroll: int,
+    n_blocks: int,
+):
+    """Projection + recurrence of a bidirectional GRU layer in ONE grid.
+
+    Grid step i projects time-block i (fwd) / nb-1-i (bwd) — a pair of
+    (U*B, D) x (D, 3H) MXU matmuls with NO dependence on the carried
+    state — and runs the recurrence cells of the blocks projected at step
+    i-1 out of VMEM scratch (grid = nb + 1 steps; step 0 only primes, step
+    nb only recurs). gx never exists in HBM: the layer input streams in at
+    D instead of 2 x 3H(write)+3H(read) per direction, and the projection
+    matmuls are independent MXU work the scheduler can overlap with the
+    cell chain's VPU gate phases — the round-2 bottleneck
+    (VERDICT r2 item 4, the 58%-of-roofline recurrence).
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        hf_scr[:] = h0f_ref[:]
+        hb_scr[:] = h0b_ref[:]
+
+    # ---- project the blocks the NEXT step consumes -----------------------
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i < n_blocks)
+    def _():
+        u, b, d = xf_ref.shape
+        xf = xf_ref[:].reshape(u * b, d)
+        xb = xb_ref[:].reshape(u * b, d)
+        gxf_scr[slot] = jnp.dot(
+            xf, wif_ref[:], preferred_element_type=jnp.float32
+        ).reshape(u, b, 3 * hidden)
+        gxb_scr[slot] = jnp.dot(
+            xb, wib_ref[:], preferred_element_type=jnp.float32
+        ).reshape(u, b, 3 * hidden)
+
+    # ---- recurrence over the blocks projected last step ------------------
+    @pl.when(i > 0)
+    def _():
+        use = jax.lax.rem(i + 1, 2)  # the slot written at step i-1
+        h_f = hf_scr[:]
+        h_b = hb_scr[:]
+        lengths = len_ref[:]
+        base_f = (i - 1) * unroll
+        base_b = (n_blocks - i) * unroll
+
+        def cell(h, gx, wh_ref, bh_ref, bi_ref, t):
+            gx = gx + bi_ref[:]
+            gh = (
+                jnp.dot(
+                    h.astype(wh_ref.dtype), wh_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+                + bh_ref[:]
+            )
+            r = jax.nn.sigmoid(gx[:, :hidden] + gh[:, :hidden])
+            z = jax.nn.sigmoid(
+                gx[:, hidden : 2 * hidden] + gh[:, hidden : 2 * hidden]
+            )
+            n = jnp.tanh(gx[:, 2 * hidden :] + r * gh[:, 2 * hidden :])
+            h_new = (1.0 - z) * n + z * h
+            m = (lengths > t).astype(jnp.float32)
+            return m * h_new + (1.0 - m) * h, h_new * m
+
+        for k in range(unroll):
+            kb = unroll - 1 - k
+            h_f, out_f = cell(
+                h_f, gxf_scr[use, k], whf_ref, bhf_ref, bif_ref, base_f + k
+            )
+            h_b, out_b = cell(
+                h_b, gxb_scr[use, kb], whb_ref, bhb_ref, bib_ref, base_b + kb
+            )
+            outf_ref[k] = out_f.astype(outf_ref.dtype)
+            outb_ref[kb] = out_b.astype(outb_ref.dtype)
+
+        hf_scr[:] = h_f
+        hb_scr[:] = h_b
+
+        @pl.when(i == n_blocks)
+        def _():
+            hlf_ref[:] = h_f
+            hlb_ref[:] = h_b
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
+def gru_scan_bidi_fused(
+    x: jnp.ndarray,  # (T, B, D) — raw layer input (stream dtype, e.g. bf16)
+    lengths: jnp.ndarray,  # (B,) int32
+    w_ih_f: jnp.ndarray,  # (D, 3H)
+    w_ih_b: jnp.ndarray,
+    w_hh_f: jnp.ndarray,  # (H, 3H)
+    w_hh_b: jnp.ndarray,
+    b_ih_f: jnp.ndarray,  # (3H,)
+    b_ih_b: jnp.ndarray,
+    b_hh_f: jnp.ndarray,
+    b_hh_b: jnp.ndarray,
+    h0_f: jnp.ndarray,  # (B, H) float32
+    h0_b: jnp.ndarray,
+    interpret: bool = False,
+    unroll: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fully fused bidirectional GRU layer: input projection AND both
+    recurrence chains in one Mosaic grid (see _gru_bidi_fused_kernel).
+
+    Same contract as :func:`gru_scan_bidi` but takes the raw layer input
+    instead of precomputed projections — no (T, B, 3H) gx tensors ever
+    reach HBM.
+    """
+    t_max, batch, d_in = x.shape
+    hidden = w_hh_f.shape[0]
+    seq_dtype = x.dtype
+
+    unroll = max(1, min(unroll, t_max))
+    t_pad = -(-t_max // unroll) * unroll
+    if t_pad != t_max:
+        x = jnp.pad(x, ((0, t_pad - t_max), (0, 0), (0, 0)))
+    nb = t_pad // unroll
+
+    # step i projects fwd block i / bwd block nb-1-i (clamped at the prime
+    # and drain steps), recurs blocks i-1 / nb-i
+    xf_ix = lambda i: (jnp.minimum(i, nb - 1), 0, 0)  # noqa: E731
+    xb_ix = lambda i: (jnp.maximum(nb - 1 - i, 0), 0, 0)  # noqa: E731
+    outf_ix = lambda i: (jnp.maximum(i - 1, 0), 0, 0)  # noqa: E731
+    outb_ix = lambda i: (jnp.minimum(nb - i, nb - 1), 0, 0)  # noqa: E731
+    const2 = lambda i: (0, 0)  # noqa: E731
+
+    g3 = 3 * hidden
+    out_f, out_b, hl_f, hl_b = pl.pallas_call(
+        functools.partial(
+            _gru_bidi_fused_kernel, hidden=hidden, unroll=unroll, n_blocks=nb
+        ),
+        grid=(nb + 1,),
+        in_specs=[
+            pl.BlockSpec((unroll, batch, d_in), xf_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, batch, d_in), xb_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, g3), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, g3), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, g3), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, g3), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((unroll, batch, hidden), outf_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, batch, hidden), outb_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, batch, hidden), seq_dtype),
+            jax.ShapeDtypeStruct((t_pad, batch, hidden), seq_dtype),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((batch, hidden), jnp.float32),
+            pltpu.VMEM((batch, hidden), jnp.float32),
+            pltpu.VMEM((2, unroll, batch, g3), jnp.float32),
+            pltpu.VMEM((2, unroll, batch, g3), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * t_pad * batch * (d_in + hidden) * g3,
+            bytes_accessed=(
+                x.size * 2 * seq_dtype.itemsize
+                + (w_ih_f.size + w_ih_b.size + w_hh_f.size + w_hh_b.size)
+                * w_hh_f.dtype.itemsize
+                + t_pad * batch * hidden * 2 * seq_dtype.itemsize
+            ),
+            transcendentals=2 * 3 * t_pad * batch * hidden,
+        ),
+    )(
+        x,
+        x,
+        lengths.astype(jnp.int32).reshape(batch, 1),
+        w_ih_f,
+        w_ih_b,
+        w_hh_f,
+        w_hh_b,
+        b_hh_f.astype(jnp.float32).reshape(1, g3),
+        b_hh_b.astype(jnp.float32).reshape(1, g3),
+        b_ih_f.astype(jnp.float32).reshape(1, g3),
+        b_ih_b.astype(jnp.float32).reshape(1, g3),
+        h0_f.astype(jnp.float32),
+        h0_b.astype(jnp.float32),
+    )
+    return out_f[:t_max], out_b[:t_max], hl_f, hl_b
+
+
 def _lstm_step_kernel(
     gx_ref,  # (U, B, 4H) — x @ w_ih + b_ih
     len_ref,  # (B, 1) int32

@@ -179,15 +179,17 @@ def _gru_layer_pallas(
     h0: jnp.ndarray | None,
     sum_directions: bool,
 ):
-    """Pallas-kernel GRU layer: the input projection for both directions is
-    one big XLA matmul against the gate-concatenated (I, 6H) weight, the
-    recurrence runs in the Mosaic grid kernel — both chains fused in a
-    single grid for bidirectional layers (gru_scan_bidi). Matches the
-    lax.scan path bit-for-bit in masking/merge semantics (tests
-    tests/test_pallas_gru.py pin the two against each other)."""
-    from .pallas_gru import gru_scan, gru_scan_bidi
+    """Pallas-kernel GRU layer. Bidirectional layers run FULLY fused —
+    input projection and both recurrence chains in one Mosaic grid
+    (gru_scan_bidi_fused): the projection matmuls for time-block i+1 are
+    independent MXU work overlapping the cell chain of block i, and the
+    (T, B, 3H) gx tensors never reach HBM. Falls back to the split
+    einsum + gru_scan_bidi when the four weight matrices exceed the VMEM
+    budget. Matches the lax.scan path bit-for-bit in masking/merge
+    semantics (tests/test_pallas_gru.py pin the two against each other)."""
+    from .pallas_gru import gru_scan, gru_scan_bidi, gru_scan_bidi_fused
 
-    t_max, batch, _ = x.shape
+    t_max, batch, d_in = x.shape
     hidden = fwd.w_hh.shape[0]
     mm_dtype = fwd.w_ih.dtype
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
@@ -208,6 +210,25 @@ def _gru_layer_pallas(
             reverse=False, interpret=interpret, b_ih=fwd.b_ih,
         )
         return out_f.astype(jnp.float32), hl_f[None]
+
+    # VMEM-resident weights of the fused kernel: both directions' w_ih and
+    # w_hh plus double-buffered x/gx blocks must fit the per-core budget
+    wbytes = 2 * (d_in + hidden) * 3 * hidden * jnp.dtype(mm_dtype).itemsize
+    if wbytes <= 72 * 1024 * 1024:
+        out_f, out_b, hl_f, hl_b = gru_scan_bidi_fused(
+            x.astype(mm_dtype), lengths,
+            fwd.w_ih, bwd.w_ih, fwd.w_hh, bwd.w_hh,
+            fwd.b_ih, bwd.b_ih, fwd.b_hh, bwd.b_hh,
+            h0_f, h0_b, interpret=interpret,
+        )
+        out_f = out_f.astype(jnp.float32)
+        out_b = out_b.astype(jnp.float32)
+        merged = (
+            out_f + out_b
+            if sum_directions
+            else jnp.concatenate([out_f, out_b], -1)
+        )
+        return merged, jnp.stack([hl_f, hl_b])
 
     # one MXU matmul feeds both chains: (T·B, I) x (I, 6H), bias-free (the
     # kernel adds b_ih), output in the stream dtype directly

@@ -197,3 +197,74 @@ def test_device_lm_beam_matches_reference_stack(
         s, _ = host.decode(p[None])
         ref_strings.append(s[0][0])
     assert [d[0] for d in ds] == ref_strings
+
+
+@pytest.fixture(scope="module")
+def order5_trie_path(tmp_path_factory, reference_greedy):
+    """Order-5 LM over the checkpoint's emitted words, serialized to a
+    KenLM trie .klm file on disk — the zoo's dsl_5gram class
+    (/root/reference/danspeech/language_models/dsl_5gram.py)."""
+    from danspeech_tpu.decode.kenlm_trie import write_kenlm_trie
+
+    rng = np.random.default_rng(7)
+    words = sorted({w for s in reference_greedy for w in s.split() if w})
+    assert len(words) >= 10
+    lm = NgramLM(5)
+    for w in words:
+        lm.add_ngram((w,), float(rng.uniform(-2.0, -0.3)), float(rng.uniform(-0.8, 0)))
+    for n, count in ((2, 6), (3, 5), (4, 4), (5, 3)):
+        for _ in range(len(words) * count):
+            gram = tuple(words[i] for i in rng.integers(0, len(words), n))
+            if gram not in lm.tables[n - 1]:
+                backoff = float(rng.uniform(-0.5, 0)) if n < 5 else 0.0
+                lm.add_ngram(gram, float(rng.uniform(-1.5, -0.1)), backoff)
+    path = tmp_path_factory.mktemp("lm") / "order5.klm"
+    write_kenlm_trie(lm, str(path))
+    return str(path)
+
+
+def test_flagship_settings_trie_file_device_beam(
+    model, waveforms, order5_trie_path
+):
+    """The whole flagship chain at reference defaults (alpha=1.3, beta=0.2,
+    beam=64, cutoff_top_n=40): a trie .klm FILE on disk -> load_lm ->
+    device hash-table pack -> on-device beam 64 through the PUBLIC API,
+    against the host C++ decoder and the reference (torch) acoustic stack
+    (DanSpeechRecognizer.py:88-92 + decoder.py:96-144 defaults).
+
+    Waveforms are clipped to 3 s: at beam 64 over full-length files the
+    host (f64) and device (f32) stacks accumulate enough rounding to flip
+    near-tied prunes in long space-free stretches — 3 s keeps the
+    comparison char-exact while still driving every stage end-to-end."""
+    labels = model.config.labels
+    clips = [w[: 3 * 16000] for w in waveforms]
+    host = BeamCTCDecoder(
+        labels, lm_path=order5_trie_path, alpha=1.3, beta=0.2,
+        beam_width=64, num_processes=6, blank_index=labels.index("_"),
+    )
+
+    # reference stack: torch probabilities (batch=1 like the reference)
+    # through the host LM beam
+    ref_strings, ref_greedy = [], []
+    for w in clips:
+        spect = np.log1p(numpy_librosa_stft(w)).astype(np.float32)
+        spect = (spect - spect.mean()) / spect.std(ddof=1)
+        x = spect[None, None]
+        probs, lens = torch_forward(model.params, model.config, x, [x.shape[3]])
+        p = probs[0, : lens[0]]
+        s, _ = host.decode(p[None])
+        ref_strings.append(s[0][0])
+        ref_greedy.append(_ref_greedy(p, labels))
+    # the 5-gram must actually be changing decisions vs greedy
+    assert ref_strings != ref_greedy
+
+    # our stack: public API, device backend (engine._device_lm converts
+    # the trie via to_ngram_lm and packs it into HBM tables)
+    recognizer = Recognizer(
+        model=model, lm=order5_trie_path, alpha=1.3, beta=0.2
+    )
+    recognizer.update_decoder(beam_width=64, backend="device")
+    ours = recognizer.recognize_batch(clips)
+
+    assert ours == ref_strings
+    assert _corpus_wer(ours, ref_strings) == 0.0

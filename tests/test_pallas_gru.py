@@ -101,3 +101,32 @@ def test_pallas_carried_state():
         np.concatenate([o1, o2]), full, rtol=1e-5, atol=1e-5
     )
     np.testing.assert_allclose(h2, hl, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("unroll", [1, 4])
+def test_fused_bidi_matches_split(unroll):
+    """gru_scan_bidi_fused (projection in-kernel, lookahead grid) ==
+    einsum + gru_scan_bidi, including a T not divisible by the unroll."""
+    from danspeech_tpu.ops.pallas_gru import gru_scan_bidi, gru_scan_bidi_fused
+
+    rng = np.random.default_rng(3)
+    t, b, i, h = 19, 4, 24, 16
+    x = jnp.asarray(rng.normal(size=(t, b, i)).astype(np.float32))
+    lengths = jnp.asarray(np.array([19, 11, 6, 2], np.int32))
+    fwd = make_weights(rng, i, h)
+    bwd = make_weights(rng, i, h)
+    h0 = jnp.zeros((b, h), jnp.float32)
+
+    gx_f = jnp.einsum("tbi,ik->tbk", x, fwd.w_ih)
+    gx_b = jnp.einsum("tbi,ik->tbk", x, bwd.w_ih)
+    ref = gru_scan_bidi(
+        gx_f, gx_b, lengths, fwd.w_hh, bwd.w_hh, fwd.b_hh, bwd.b_hh,
+        h0, h0, interpret=True, b_ih_f=fwd.b_ih, b_ih_b=bwd.b_ih,
+    )
+    got = gru_scan_bidi_fused(
+        x, lengths, fwd.w_ih, bwd.w_ih, fwd.w_hh, bwd.w_hh,
+        fwd.b_ih, bwd.b_ih, fwd.b_hh, bwd.b_hh, h0, h0,
+        interpret=True, unroll=unroll,
+    )
+    for a, r in zip(got, ref):
+        np.testing.assert_allclose(a, r, rtol=1e-5, atol=1e-5)
