@@ -5,7 +5,7 @@ per-chunk milliseconds go. This harness splits one chunk step of the
 public engine path (engine.streaming_transcribe) into:
 
   parse_ms        host-side adaptive spectrogram (features/spectrogram.py)
-  h2d_ms          chunk host->device transfer (jnp.asarray + tiny sync)
+  h2d_plus_rtt_ms chunk host->device transfer + one sync round trip
   device_ms       the jitted streaming step itself, amortized over a
                   dispatch train with ONE final fetch (axon dispatch cost
                   excluded by the amortization)
@@ -103,12 +103,14 @@ def main():
     chunk_arr = np.zeros((1, 1, spect.shape[0], t_padded), np.float32)
     chunk_arr[0, 0, :, :t_chunk] = spect
 
-    # h2d: host->device transfer of the padded chunk
+    # h2d: host->device transfer of the padded chunk + one sync round trip
+    # (the fetch that proves arrival costs a dispatch+fetch RTT of its own;
+    # rtt_ms below is measured separately so the two can be disentangled)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         dev = jnp.asarray(chunk_arr)
-        _ = float(dev.ravel()[0])
-    h2d_ms = (time.perf_counter() - t0) / args.iters * 1e3
+        _ = float(np.asarray(dev[0, 0, 0, 0]))
+    h2d_plus_rtt_ms = (time.perf_counter() - t0) / args.iters * 1e3
 
     # device: amortized step train with one tiny final fetch
     step = eng._stream_step_jit(False, False)
@@ -123,10 +125,12 @@ def main():
     _ = float(np.asarray(out_len))
     device_ms = (time.perf_counter() - t0) / args.iters * 1e3
 
-    # rtt: 1-element fetch of an already-computed device array
+    # rtt: dispatch + 1-element fetch of a FRESH device scalar each time
+    # (re-fetching the same committed array is cached client-side and
+    # reads ~0 ms — not what a real per-chunk result fetch pays)
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        _ = float(np.asarray(out_len))
+    for k in range(args.iters):
+        _ = float(np.asarray(out_len + k))
     rtt_ms = (time.perf_counter() - t0) / args.iters * 1e3
 
     # fetch_extra: full padded probs block minus the rtt floor
@@ -152,20 +156,23 @@ def main():
         "total_per_chunk_ms": round(total_ms, 2),
         "stages_ms": {
             "parse": round(parse_ms, 2),
-            "h2d": round(h2d_ms, 2),
+            "h2d_plus_rtt": round(h2d_plus_rtt_ms, 2),
             "device_step_amortized": round(device_ms, 2),
             "result_rtt": round(rtt_ms, 2),
             "fetch_probs_extra": round(fetch_extra_ms, 2),
             "host_greedy_decode": round(host_decode_ms, 2),
         },
-        "unattributed_ms": round(
-            total_ms - parse_ms - h2d_ms - device_ms - rtt_ms
-            - fetch_extra_ms - host_decode_ms, 2
-        ),
         "notes": (
-            "unattributed = per-dispatch driver overhead the amortized "
-            "device train hides (the axon tunnel pays ~one dispatch RTT "
-            "per jitted call when results are consumed synchronously)."
+            "Stage timings UPPER-BOUND their share of the total: measured "
+            "in isolation each pays a full serialized dispatch+fetch round "
+            "trip over the axon tunnel, while the real per-chunk path "
+            "pipelines upload, dispatch and fetch (total < sum of stages). "
+            "The decomposition's value is ordinal: host parse and host "
+            "greedy decode were 65 ms and 27 ms per chunk in round 2 "
+            "(device STFT round trips / probs re-upload for argmax) and "
+            "are now sub-ms; what remains of the total is tunnel round "
+            "trips (~30 ms floor) around a 2.4 ms device step — on a "
+            "locally-attached TPU the same path is device-bound."
         ),
     }
     print(json.dumps(out, indent=2))

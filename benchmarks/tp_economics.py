@@ -100,11 +100,15 @@ def measure_chunk(hidden: int, layers: int, iters: int):
 def measure_rnn_step(hidden: int, layers: int, t_frames: int, iters: int):
     """Amortized device time of the 5-layer uni GRU stack over one chunk's
     frames at B=1 (the part TP would shard)."""
-    from danspeech_tpu.models import deepspeech as ds
     from danspeech_tpu.ops import rnn as rnn_ops
 
-    model = build(hidden, layers, lookahead=False)
+    model = build(hidden, layers, lookahead=True)
     params = model.params
+
+    # a stack of `layers` identical hidden->hidden uni layers (layer 0 of
+    # the real model has conv-sized input; the TP question is about the
+    # H x 3H recurrent steps, which layers 1.. represent exactly)
+    p = {"rnns": [params["rnns"][1] for _ in range(layers)]}
 
     @jax.jit
     def rnn_stack(p, x):
@@ -118,15 +122,6 @@ def measure_rnn_step(hidden: int, layers: int, t_frames: int, iters: int):
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(t_frames, 1, hidden)).astype(np.float32)
     )
-    # feed hidden-sized input straight into layers 1..n shape; layer 0 of
-    # the real model has conv-sized input, close enough for the step model
-    p = {"rnns": [
-        {k: v for k, v in layer.items() if k == "fwd"} if isinstance(layer, dict) else layer
-        for layer in params["rnns"][1:]
-    ]}
-    # rebuild a stack of `layers` identical hidden->hidden layers
-    p = {"rnns": [params["rnns"][1] for _ in range(layers)]}
-
     dt = time_fn(rnn_stack, p, x, iters=iters)
     per_step = dt / (t_frames * layers)
     return dt, per_step

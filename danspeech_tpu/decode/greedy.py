@@ -60,7 +60,14 @@ class GreedyDecoder(Decoder):
         strings[b] is a one-element list (single path), offsets likewise
         (decoder.py:183-198).
         """
-        max_probs = np.asarray(jnp.argmax(jnp.asarray(probs), axis=2))
+        if isinstance(probs, np.ndarray):
+            # host input: a host argmax on the tiny (B, T, C) block beats
+            # re-uploading it to the device (2 tunnel round trips — was the
+            # 2nd-largest term of the measured streaming per-chunk latency)
+            max_probs = probs.argmax(axis=2)
+        else:
+            # device input: argmax on device, fetch only the (B, T) paths
+            max_probs = np.asarray(jnp.argmax(probs, axis=2))
         batch = max_probs.shape[0]
         strings, offsets = [], []
         for b in range(batch):

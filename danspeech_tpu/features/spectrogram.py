@@ -39,9 +39,10 @@ class AudioParser:
 
         self.n_fft = int(self.sampling_rate * self.window_size)
         self.hop_length = int(self.sampling_rate * self.window_stride)
-        self.window = jnp.asarray(
-            get_window(self.window_name, self.n_fft), dtype=jnp.float32
+        self.window_np = get_window(self.window_name, self.n_fft).astype(
+            np.float32
         )
+        self.window = jnp.asarray(self.window_np)
 
     def parse_audio(self, recording):
         raise NotImplementedError
@@ -112,17 +113,27 @@ class InferenceSpectrogramAudioParser(AudioParser):
             self.buffer = np.concatenate((self.buffer, extra_samples_array), axis=None)
         self.has_buffer = True
 
-        spect = jnp.log1p(
-            stft_ops.magnitude_stft(
-                jnp.asarray(part), self.n_fft, self.hop_length, self.window, center=False
-            )
+        # Host numpy STFT: the per-chunk spectrogram is a ~100-frame rFFT
+        # — microseconds on the host, but as a device op it cost 2+
+        # dispatch/fetch round trips per chunk over the axon tunnel (the
+        # dominant term of the measured per-chunk latency,
+        # benchmarks/streaming_latency.json). The batch path stays on
+        # device (ops/stft.py); parity with it is pinned in test_stft.py.
+        n_frames = 1 + (len(part) - self.n_fft) // self.hop_length
+        frames = np.lib.stride_tricks.as_strided(
+            part,
+            (n_frames, self.n_fft),
+            (part.strides[0] * self.hop_length, part.strides[0]),
+        )
+        spect = np.log1p(
+            np.abs(np.fft.rfft(frames * self.window_np, axis=-1)).T.astype(np.float32)
         )
 
         # Adaptive normalization (reference parsers.py:146-157). The running
         # stats use numpy biased std over the chunk, as np.std does there.
         self.alpha += self.alpha_increment
-        chunk_mean = float(jnp.mean(spect))
-        chunk_std = float(jnp.std(spect))
+        chunk_mean = float(np.mean(spect))
+        chunk_std = float(np.std(spect))
         self.input_mean = (self.input_mean + chunk_mean) / 2
         self.input_std = (self.input_std + chunk_std) / 2
 

@@ -12,7 +12,8 @@ time.
 chunk step whose batch dimension is the stream index. Every per-frame matvec
 becomes an (S, H) x (H, 3H) matmul and the round trip is paid once per
 cohort, so the chip serves S real-time sessions for roughly the cost of one
-(measured: >20x aggregate throughput at S=32, benchmarks/rtf_results.json).
+(measured as rtf harness config 4.5, ``streaming_chunked_32streams`` in
+benchmarks/rtf_results.json, vs the single-stream config 4).
 
 Cohort semantics: all streams advance together with the same chunk sample
 count per step and shared is_first/is_last flags — the natural shape for a

@@ -25,10 +25,15 @@ gate math. This module makes TP explicit and gate-aligned instead
     cross-chip exchange cannot live inside a Pallas grid (the kernel owns
     the time loop; a pltpu remote-DMA ring is future work).
 
-When TP pays: models whose recurrent weights bust single-chip VMEM/HBM
-residency (the GPUStreamingRNN 2000-class, SURVEY §2.4) or latency-bound
-B=1 decode — the per-step all_gather is ~H*4 bytes over ICI. For
-throughput-bound batch serving, DP (parallel/batch.py) is strictly better.
+When TP pays (measured + modeled, benchmarks/tp_economics.json): the B=1
+recurrent step is weight-streaming-bound (11.85 us measured on the
+GPUStreamingRNN 5x2000 shape, ~100x off the flops bound), so sharding the
+weights 1/n per chip buys a modeled 1.69x (n=2) to 1.94x (n=4) step
+speedup before ICI hop latency catches up (1.37x at n=8) — i.e. TP is a
+B=1-latency / VMEM-capacity tool with crossover n≈4. For
+throughput-bound batch serving, DP (parallel/batch.py) is strictly better
+(at large B the step is flops-bound and the same exchange costs many
+times the sharded matmul).
 
 The conv stack stays replicated (it is ~1% of FLOPs); the lookahead conv
 is depthwise over H (h-sharded for free); the FC head contracts over H, so
