@@ -34,10 +34,12 @@ FLAGSHIP = dict(
 
 
 def load_waveforms():
-    from danspeech_tpu.audio import load_audio_wavPCM
+    # int16 PCM: the serving loader — the engine stages int16 batches and
+    # casts on device, halving tunnel bytes vs float32
+    from danspeech_tpu.audio import load_audio_pcm16
 
     paths = sorted(glob.glob(EXAMPLES))
-    waves = [load_audio_wavPCM(p) for p in paths]
+    waves = [load_audio_pcm16(p) for p in paths]
     total_audio_s = sum(len(w) for w in waves) / 16000.0
     return waves, total_audio_s
 
@@ -101,7 +103,29 @@ def bench_tpu(waves, iters: int = 10):
     assert len(out) == len(workload) and all(isinstance(s, str) for s in out)
 
     batch_audio_s = sum(len(w) for w in workload) / 16000.0
-    return elapsed, batch_audio_s
+
+    # device-pipeline figure (round-3 verdict Weak #1): same groups with
+    # inputs pre-staged on device — isolates compute+path-fetch from host
+    # assembly and tunnel upload so the serving-overhead gap stays visible
+    import jax.numpy as jnp
+
+    plans = eng._plan_groups(workload)
+    eng._staging_used = set()
+    staged = []
+    for idxs, maxlen in plans:
+        batch, lengths = eng._stage_group(workload, idxs, maxlen)
+        staged.append((jnp.asarray(batch), jnp.asarray(lengths)))
+    run = eng._forward_greedy_jit()
+    for b, l in staged:
+        b.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        outs = [run(eng._compute_params, b, l) for b, l in staged]
+        for paths, out_lens in outs:
+            np.asarray(paths), np.asarray(out_lens)
+    dev_elapsed = (time.perf_counter() - t0) / iters
+
+    return elapsed, dev_elapsed, batch_audio_s
 
 
 def bench_cpu_baseline(waves) -> float:
@@ -188,8 +212,9 @@ def main():
     waves, total_audio_s = load_waveforms()
     del total_audio_s  # throughput counts the actual batched rows
 
-    elapsed, batch_audio_s = bench_tpu(waves)
+    elapsed, dev_elapsed, batch_audio_s = bench_tpu(waves)
     tpu_rate = batch_audio_s / elapsed
+    dev_rate = batch_audio_s / dev_elapsed
 
     try:
         cpu_rate = bench_cpu_baseline(waves)
@@ -202,6 +227,10 @@ def main():
         "value": round(tpu_rate, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(tpu_rate / cpu_rate, 2) if cpu_rate else None,
+        # same workload, inputs pre-staged on device: the ceiling the
+        # public path is chasing (gap = host assembly + tunnel upload)
+        "device_pipeline_value": round(dev_rate, 2),
+        "serving_efficiency_pct": round(100 * tpu_rate / dev_rate, 1),
     }
     print(json.dumps(result))
 

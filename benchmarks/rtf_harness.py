@@ -67,12 +67,15 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
-    from danspeech_tpu.audio import load_audio_wavPCM
+    # int16 serving loader: the engine stages int16 verbatim and casts on
+    # device (half the tunnel bytes of the float path) — same loader as
+    # bench.py so configs 1/2/5 measure the real serving path
+    from danspeech_tpu.audio import load_audio_pcm16
     from danspeech_tpu.engine import DanSpeechRecognizer
 
     model = build(args.model)
     paths = sorted(glob.glob(EXAMPLES))
-    waves = [load_audio_wavPCM(p) for p in paths]
+    waves = [load_audio_pcm16(p) for p in paths]
     audio_s = [len(w) / 16000.0 for w in waves]
 
     results = []
@@ -126,7 +129,9 @@ def main():
     eng_s = DanSpeechRecognizer(model_name=stream_model)
     eng_s.enable_streaming(secondary_model=None, return_string_parts=False)
     chunk = 16000  # 1 s chunks
-    wav = waves[0]
+    # streaming parses on host (features/spectrogram.py) — feed float like
+    # the mic path does; int16 staging only applies to the batch engine
+    wav = waves[0].astype(np.float32)
     n_chunks = max(1, len(wav) // chunk)
 
     def run_stream():
@@ -149,7 +154,7 @@ def main():
     from danspeech_tpu.multistream import MultiStreamTranscriber
 
     S = int(os.environ.get("RTF_STREAMS", "32"))
-    long_buf = np.concatenate(waves)
+    long_buf = np.concatenate([w.astype(np.float32) for w in waves])
     streams = [
         long_buf[(s * 16000) % (len(long_buf) - n_chunks * chunk):][: n_chunks * chunk]
         for s in range(S)
@@ -193,8 +198,19 @@ def main():
     if got != expected:
         raise RuntimeError(f"rtf harness incomplete: missing configs {sorted(expected - got)}")
 
+    # single canonical artifact (round-3 verdict item 8: the top-level
+    # RTF_rNN.json duplicate invited staleness and was removed)
     with open(os.path.join(REPO, "benchmarks", "rtf_results.json"), "w") as f:
-        json.dump({"model": args.model, "results": results}, f, indent=1)
+        json.dump(
+            {
+                "model": args.model,
+                "measured": time.strftime("%Y-%m-%d"),
+                "machine": os.uname().nodename,
+                "results": results,
+            },
+            f,
+            indent=1,
+        )
 
 
 def _synthetic_3gram():

@@ -82,6 +82,24 @@ def main():
         run_stream()
     total_ms = (time.perf_counter() - t0) / (args.iters * len(chunks)) * 1e3
 
+    # ---- pipelined mode (engine.enable_streaming(pipeline_depth=D)):
+    # partials return D chunks late so result fetches overlap instead of
+    # serializing one tunnel RTT per chunk; finals are identical
+    piped_ms = {}
+    for depth in (1, 2, 4):
+        eng.enable_streaming(
+            secondary_model=None, return_string_parts=False,
+            pipeline_depth=depth,
+        )
+        run_stream()  # warm
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            run_stream()
+        piped_ms[depth] = round(
+            (time.perf_counter() - t0) / (args.iters * len(chunks)) * 1e3, 2
+        )
+    eng.enable_streaming(secondary_model=None, return_string_parts=False)
+
     # ---- stage decomposition on a steady-state chunk ---------------------
     from danspeech_tpu.engine import _bucket
     from danspeech_tpu.models import streaming
@@ -154,6 +172,9 @@ def main():
             f"iters={args.iters}"
         ),
         "total_per_chunk_ms": round(total_ms, 2),
+        "pipelined_per_chunk_ms": {
+            f"depth_{d}": v for d, v in piped_ms.items()
+        },
         "stages_ms": {
             "parse": round(parse_ms, 2),
             "h2d_plus_rtt": round(h2d_plus_rtt_ms, 2),

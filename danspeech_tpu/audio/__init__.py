@@ -9,6 +9,7 @@ from .io import (  # noqa: F401
     SpeechFile,
     SpeechSource,
     load_audio,
+    load_audio_pcm16,
     load_audio_wavPCM,
 )
 from .microphone import Microphone  # noqa: F401

@@ -326,3 +326,30 @@ def load_audio_wavPCM(path) -> np.ndarray:
         else:
             sound = sound.mean(axis=1)
     return sound.astype(float)
+
+
+def load_audio_pcm16(path) -> np.ndarray:
+    """Load a 16-bit PCM WAV as int16 — the serving-path fast loader.
+
+    int16 waveforms ride the host->device tunnel at half the bytes of the
+    float path (the engine stages int16 batches verbatim and casts on
+    device). Stereo is downmixed by rounded channel mean, which quantizes
+    half-sample means to the nearest LSB (<= 0.5 LSB difference vs the
+    reference's float mean, resources.py:64-82 — inaudible and invisible
+    to the decoder); use :func:`load_audio_wavPCM` for bit-exact float
+    parity work.
+    """
+    import scipy.io.wavfile as wavfile
+
+    _, sound = wavfile.read(path)
+    if sound.ndim > 1:
+        if sound.shape[1] == 1:
+            sound = sound.squeeze()
+        else:
+            sound = np.rint(sound.mean(axis=1)).astype(np.int16)
+    if sound.dtype != np.int16:
+        raise ValueError(
+            f"{path}: not 16-bit PCM (got {sound.dtype}); "
+            "use load_audio_wavPCM"
+        )
+    return sound

@@ -42,7 +42,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG_INF = jnp.float32(-1e30)
+# plain numpy so importing this module never initializes the XLA backend
+# (jax.distributed.initialize must run before any backend-touching call)
+NEG_INF = np.float32(-1e30)
 
 # multiplicative rolling-hash constants (odd, well-mixed 32-bit)
 _H1_MUL = np.uint32(0x9E3779B1)

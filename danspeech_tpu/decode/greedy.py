@@ -49,6 +49,38 @@ def collapse_sequence(
     return "".join(chars), offsets
 
 
+def collapse_batch(
+    paths: np.ndarray, sizes: np.ndarray, labels: str, blank_index: int
+) -> list[str]:
+    """Collapse a whole (B, T) argmax-path matrix in one vectorized pass.
+
+    Serving-path counterpart of :func:`collapse_sequence` (no per-row
+    Python loop over T, no per-char joins): the keep mask (non-blank,
+    not a repeat, inside the row's valid length) is computed for the
+    full matrix, the kept label ids index a unicode label table once,
+    and per-row strings fall out of a single join + cumulative split.
+    """
+    paths = np.asarray(paths)
+    batch, t = paths.shape
+    if t == 0:
+        return [""] * batch
+    valid = np.arange(t)[None, :] < np.asarray(sizes, dtype=np.int64)[:, None]
+    prev = np.empty_like(paths)
+    prev[:, 0] = blank_index
+    prev[:, 1:] = paths[:, :-1]
+    keep = valid & (paths != blank_index) & (paths != prev)
+    label_table = np.array(list(labels))
+    flat = label_table[paths[keep]]
+    joined = "".join(flat.tolist())
+    bounds = np.cumsum(keep.sum(axis=1))
+    out, start = [], 0
+    for b in range(batch):
+        end = int(bounds[b])
+        out.append(joined[start:end])
+        start = end
+    return out
+
+
 class GreedyDecoder(Decoder):
     def __init__(self, labels: str, blank_index: int = 0):
         super().__init__(labels, blank_index)

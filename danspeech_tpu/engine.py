@@ -100,6 +100,8 @@ class DanSpeechRecognizer:
         self.greedy_decoder = None
         self.string_parts = False
         self._stream_state = None
+        self.pipeline_depth = 0
+        self._stream_queue = []
         self.full_output = []
         self.iterating_transcript = ""
         self.spectrograms = []
@@ -109,6 +111,11 @@ class DanSpeechRecognizer:
         self._greedy_fn = None
         self._stream_fns: dict = {}
         self._secondary_fn = None
+
+        # pinned host staging buffers, keyed by (shape, dtype) — see
+        # _staging_buffer
+        self._staging: dict = {}
+        self._staging_used: set = set()
 
     # ------------------------------------------------------------------
     # Model / decoder lifecycle
@@ -168,13 +175,20 @@ class DanSpeechRecognizer:
         if beam_width and beam_width != self.beam_width:
             update = True
             self.beam_width = beam_width
-        if backend and backend != getattr(self, "decoder_backend", "host"):
-            if backend not in ("host", "device", "sharded"):
+        if backend and backend != getattr(self, "decoder_backend", "auto"):
+            if backend not in ("auto", "host", "device", "sharded"):
                 raise ValueError(f"unknown decoder backend: {backend!r}")
             update = True
             self.decoder_backend = backend
         if not hasattr(self, "decoder_backend"):
-            self.decoder_backend = "host"
+            # "auto" prefers the on-device beam whenever the LM can be
+            # packed into HBM hash tables — on this class of host it runs
+            # ~9x the threaded C++ beam (benchmarks/beam_throughput.json)
+            # with identical transcripts (tests/test_api_backends.py,
+            # test_device_beam.py). Probing-format .klm binaries cannot be
+            # re-keyed for the device scheme and fall back to the host
+            # decoder (see _device_lm).
+            self.decoder_backend = "auto"
         if mesh is not None and mesh is not getattr(self, "decoder_mesh", None):
             update = True
             self.decoder_mesh = mesh
@@ -184,18 +198,27 @@ class DanSpeechRecognizer:
         if update:
             blank = self.labels.index("_")
             if self.lm != "greedy":
-                if self.decoder_backend == "device":
+                backend_resolved = self.decoder_backend
+                device_lm = None
+                if backend_resolved == "auto":
+                    try:
+                        device_lm = self._device_lm()
+                        backend_resolved = "device"
+                    except ValueError:
+                        backend_resolved = "host"  # probing .klm etc.
+                if backend_resolved == "device":
                     from .decode.device_beam import DeviceBeamDecoder
 
                     self.decoder = DeviceBeamDecoder(
                         labels=self.labels,
                         beam_width=self.beam_width,
                         blank_index=blank,
-                        lm=self._device_lm(),
+                        lm=(device_lm if device_lm is not None
+                            else self._device_lm()),
                         alpha=self.alpha,
                         beta=self.beta,
                     )
-                elif self.decoder_backend == "sharded":
+                elif backend_resolved == "sharded":
                     if self.decoder_mesh is None:
                         raise ValueError(
                             "backend='sharded' needs a mesh: "
@@ -270,6 +293,10 @@ class DanSpeechRecognizer:
 
             @jax.jit
             def run(params, waveforms, lengths):
+                # int16 PCM rides the tunnel at half the bytes of float32;
+                # the cast to the STFT's float dtype happens on device
+                if waveforms.dtype != jnp.float32:
+                    waveforms = waveforms.astype(jnp.float32)
                 spect, frame_lens = stft_ops.batched_log_spectrogram(
                     waveforms,
                     lengths,
@@ -296,7 +323,8 @@ class DanSpeechRecognizer:
             @jax.jit
             def run(params, waveforms, lengths):
                 probs, out_lens = forward(params, waveforms, lengths)
-                return jnp.argmax(probs, axis=-1), out_lens
+                # 33 classes fit uint8: fetch 4x fewer bytes per path row
+                return jnp.argmax(probs, axis=-1).astype(jnp.uint8), out_lens
 
             self._greedy_fn = run
         return self._greedy_fn
@@ -369,30 +397,68 @@ class DanSpeechRecognizer:
         return min(p, DanSpeechRecognizer.MAX_BATCH_ROWS)
 
     def _plan_groups(self, recordings: list[np.ndarray]):
-        """Group utterance indices into (indices, batch, lengths) dispatch
-        groups: one length bucket per SAMPLE_BUCKET quantum, at most
-        MAX_BATCH_ROWS rows per group, row count padded to a power of two
-        (pad rows replicate row 0 and are dropped after decode)."""
+        """Group utterance indices into (indices, bucket_len) dispatch
+        plans: one length bucket per SAMPLE_BUCKET quantum, at most
+        MAX_BATCH_ROWS rows per plan. Staging (the host batch build) is
+        deferred to :meth:`_stage_group` so it interleaves with device
+        execution of earlier groups."""
         buckets: dict[int, list[int]] = {}
         for i, r in enumerate(recordings):
             b = _bucket(len(r), self.SAMPLE_BUCKET)
             buckets.setdefault(b, []).append(i)
-        groups = []
+        plans = []
         for maxlen in sorted(buckets):
             idxs = buckets[maxlen]
             for s in range(0, len(idxs), self.MAX_BATCH_ROWS):
-                chunk = idxs[s : s + self.MAX_BATCH_ROWS]
-                rows = self._row_quantum(len(chunk))
-                batch = np.zeros((rows, maxlen), dtype=np.float32)
-                lengths = np.empty((rows,), dtype=np.int32)
-                for j, i in enumerate(chunk):
-                    batch[j, : len(recordings[i])] = recordings[i]
-                    lengths[j] = len(recordings[i])
-                for j in range(len(chunk), rows):
-                    batch[j] = batch[0]
-                    lengths[j] = lengths[0]
-                groups.append((chunk, batch, lengths))
-        return groups
+                plans.append((idxs[s : s + self.MAX_BATCH_ROWS], maxlen))
+        return plans
+
+    def _staging_buffer(self, shape, dtype) -> np.ndarray:
+        """A pinned host staging buffer for one dispatch group.
+
+        Buffers persist across calls keyed by (shape, dtype) so a serving
+        loop stops paying an allocation + page-fault per call (round-3
+        verdict: ~400 MB of np.zeros per transcribe_batch). Within one
+        call a shape key is handed out once — a second group of the same
+        shape gets a fresh array because the first transfer may still be
+        in flight; by the time the call returns every result was fetched,
+        so reuse across calls is safe.
+        """
+        key = (tuple(shape), np.dtype(dtype).str)
+        buf = self._staging.get(key)
+        if buf is None or key in self._staging_used:
+            # np.zeros (lazy calloc): pad rows start finite/NaN-free, and
+            # tail zeroing in _stage_group only touches real rows
+            buf = np.zeros(shape, dtype)
+            self._staging[key] = buf
+        self._staging_used.add(key)
+        return buf
+
+    def _stage_group(self, recordings, chunk, maxlen):
+        """Build the (rows, maxlen) host batch for one dispatch group.
+
+        Rows are padded to a power of two (bounded compilations); when
+        every input is int16 PCM the batch stages as int16 — half the
+        tunnel bytes — and the device casts (see _forward_jit). Pad rows
+        keep whatever the pinned buffer holds (each row is independent
+        through STFT-normalize/conv-mask/eval-BN, and pad outputs are
+        dropped), only their lengths are pinned to a real row's.
+        """
+        rows = self._row_quantum(len(chunk))
+        dtype = (
+            np.int16
+            if all(recordings[i].dtype == np.int16 for i in chunk)
+            else np.float32
+        )
+        batch = self._staging_buffer((rows, maxlen), dtype)
+        lengths = np.empty((rows,), dtype=np.int32)
+        for j, i in enumerate(chunk):
+            r = recordings[i]
+            batch[j, : len(r)] = r
+            batch[j, len(r) :] = 0  # conv straddles the boundary: pad = 0
+            lengths[j] = len(r)
+        lengths[len(chunk) :] = lengths[0]
+        return batch, lengths
 
     @staticmethod
     def _to_host_async(*arrays) -> None:
@@ -410,43 +476,39 @@ class DanSpeechRecognizer:
         decode results in input order."""
         if self.model is None:
             raise ModelNotInitialized("No acoustic model loaded")
-        groups = self._plan_groups(recordings)
+        plans = self._plan_groups(recordings)
         greedy_fast = isinstance(self.decoder, GreedyDecoder)
         params = self._compute_params
+        self._staging_used = set()
 
-        # phase 1: enqueue every group's device program
+        # phase 1: stage + enqueue group by group. Dispatch is async, so
+        # group k's host batch build overlaps the device execution (and
+        # tunnel upload) of groups < k.
         pending = []
-        if greedy_fast:
-            run = self._forward_greedy_jit()
-            for idxs, batch, lengths in groups:
-                paths, out_lens = run(
-                    params, jnp.asarray(batch), jnp.asarray(lengths)
-                )
-                self._to_host_async(paths, out_lens)
-                pending.append((idxs, paths, out_lens))
-        else:
-            run = self._forward_jit()
-            for idxs, batch, lengths in groups:
-                probs, out_lens = run(
-                    params, jnp.asarray(batch), jnp.asarray(lengths)
-                )
-                pending.append((idxs, probs, out_lens))
+        run = self._forward_greedy_jit() if greedy_fast else self._forward_jit()
+        for idxs, maxlen in plans:
+            batch, lengths = self._stage_group(recordings, idxs, maxlen)
+            out, out_lens = run(
+                params, jnp.asarray(batch), jnp.asarray(lengths)
+            )
+            if greedy_fast:
+                self._to_host_async(out, out_lens)
+            pending.append((idxs, out, out_lens))
 
         # phase 2: decode in dispatch order; host work overlaps the device
         # execution of later groups
         results: list = [None] * len(recordings)
         if greedy_fast:
             blank = self.labels.index("_")
-            from .decode.greedy import collapse_sequence
+            from .decode.greedy import collapse_batch
 
             for idxs, paths, out_lens in pending:
-                paths_np = np.asarray(paths)
-                lens_np = np.asarray(out_lens)
+                strings = collapse_batch(
+                    np.asarray(paths), np.asarray(out_lens),
+                    self.labels, blank,
+                )
                 for j, i in enumerate(idxs):
-                    s, _ = collapse_sequence(
-                        paths_np[j], int(lens_np[j]), self.labels, blank
-                    )
-                    results[i] = [s]
+                    results[i] = [strings[j]]
         else:
             kwargs = self._decode_kwargs(show_all)
             device_side = getattr(self.decoder, "supports_n_best", False)
@@ -514,7 +576,19 @@ class DanSpeechRecognizer:
     # Streaming (reference :98-216)
     # ------------------------------------------------------------------
 
-    def enable_streaming(self, secondary_model=None, return_string_parts=True):
+    def enable_streaming(self, secondary_model=None, return_string_parts=True,
+                         pipeline_depth: int = 0):
+        """Enter streaming mode (reference :98-126).
+
+        ``pipeline_depth`` > 0 enables the pipelined low-latency mode:
+        chunk k's device step is dispatched immediately but its partial
+        transcript is returned ``pipeline_depth`` chunks later, so up to
+        that many result fetches ride the host<->device link concurrently
+        instead of each paying a serialized round trip. Final results
+        (the ``is_last`` return) are identical to depth 0 — only the
+        cadence of the provisional partials shifts. Depth 0 preserves
+        the reference's synchronous per-chunk semantics.
+        """
         self.full_output = []
         self.iterating_transcript = ""
         self.secondary_model = secondary_model
@@ -527,6 +601,8 @@ class DanSpeechRecognizer:
         )
         self.string_parts = bool(return_string_parts)
         self._stream_state = None
+        self.pipeline_depth = int(pipeline_depth)
+        self._stream_queue: list = []
 
     def disable_streaming(self, keep_secondary_model=False):
         self.audio_parser = SpectrogramAudioParser(self.audio_config)
@@ -541,6 +617,7 @@ class DanSpeechRecognizer:
         self.full_output = []
         self.spectrograms = []
         self._stream_state = None
+        self._stream_queue = []
 
     def streaming_transcribe(self, recording, is_last: bool, is_first: bool):
         """Chunked streaming transcription state machine (reference :144-216).
@@ -581,26 +658,25 @@ class DanSpeechRecognizer:
             if is_first:
                 return ""
 
-            # one host<->device round trip for both results (the fetch is
-            # the latency floor of the per-chunk step over the axon tunnel)
-            probs, out_len = jax.device_get((probs, out_len))
-            probs = probs[:, : int(out_len)]
-            self.full_output.append(probs)
-            decoded_out, _ = self.greedy_decoder.decode(probs)
-            transcript = decoded_out[0][0]
-
-            # chunk-boundary repeated-char join hack (reference :170-174)
-            if (
-                self.iterating_transcript
-                and transcript
-                and self.iterating_transcript[-1] == transcript[0]
-            ):
-                self.iterating_transcript += transcript[1:]
-                transcript = transcript[1:]
+            if self.pipeline_depth and not is_last:
+                # pipelined mode: start the fetch, return the partial of
+                # the chunk that fell off the window — up to depth result
+                # round trips are in flight at once
+                self._to_host_async(probs, out_len)
+                self._stream_queue.append((probs, out_len))
+                if len(self._stream_queue) > self.pipeline_depth:
+                    out = self._absorb_stream_result(
+                        *self._stream_queue.pop(0)
+                    )
             else:
-                self.iterating_transcript += transcript
-
-            out = transcript if self.string_parts else self.iterating_transcript
+                # sync mode (and the final chunk of pipelined mode):
+                # drain anything still in flight, then this chunk. One
+                # host<->device round trip fetches both results (the
+                # fetch is the per-chunk latency floor over the tunnel)
+                for queued in self._stream_queue:
+                    self._absorb_stream_result(*queued)
+                self._stream_queue = []
+                out = self._absorb_stream_result(probs, out_len)
 
         if is_last:
             if len(self.iterating_transcript) > 1:
@@ -624,6 +700,28 @@ class DanSpeechRecognizer:
             return ""
 
         return out
+
+    def _absorb_stream_result(self, probs, out_len) -> str:
+        """Fetch one chunk's (probs, out_len), fold its greedy partial into
+        the running transcript (join hack, reference :170-174) and return
+        the per-chunk output string."""
+        probs, out_len = jax.device_get((probs, out_len))
+        probs = probs[:, : int(out_len)]
+        self.full_output.append(probs)
+        decoded_out, _ = self.greedy_decoder.decode(probs)
+        transcript = decoded_out[0][0]
+
+        if (
+            self.iterating_transcript
+            and transcript
+            and self.iterating_transcript[-1] == transcript[0]
+        ):
+            self.iterating_transcript += transcript[1:]
+            transcript = transcript[1:]
+        else:
+            self.iterating_transcript += transcript
+
+        return transcript if self.string_parts else self.iterating_transcript
 
     def _run_secondary(self, spect: np.ndarray):
         """Run the secondary (bidirectional) model over the accumulated

@@ -102,6 +102,19 @@ class InferenceSpectrogramAudioParser(AudioParser):
         if self.has_buffer:
             part = np.concatenate((self.buffer, part), axis=None)
 
+        if len(part) < self.n_fft:
+            # too short for even one frame (ADVICE r3): hold every sample
+            # for the next chunk — without this, n_frames <= 0 poisons the
+            # running mean/std with NaN (0 frames) or makes as_strided
+            # raise (negative frames). A final chunk ends the stream like
+            # the reference's short-final drop (parsers.py:112-114).
+            if is_last:
+                self.reset()
+                return []
+            self.buffer = part
+            self.has_buffer = True
+            return []
+
         # Hold back the hop remainder so chunk boundaries tile exactly.
         extra_samples = len(part) % self.hop_length
         if extra_samples != 0:

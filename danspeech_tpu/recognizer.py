@@ -377,11 +377,20 @@ class Recognizer:
     # ------------------------------------------------------------------
 
     def enable_real_time_streaming(
-        self, streaming_model, secondary_model=None, string_parts=True
+        self, streaming_model, secondary_model=None, string_parts=True,
+        pipeline_depth: int = 0,
     ):
-        """Set up real-time (uni-directional) streaming recognition."""
+        """Set up real-time (uni-directional) streaming recognition.
+
+        ``pipeline_depth`` > 0 opts into pipelined partials: chunk k's
+        provisional transcript arrives ``pipeline_depth`` chunks later so
+        result fetches overlap instead of serializing one tunnel round
+        trip per chunk (engine.enable_streaming). Finals are unchanged.
+        """
         self.update_model(streaming_model)
-        self.danspeech_recognizer.enable_streaming(secondary_model, string_parts)
+        self.danspeech_recognizer.enable_streaming(
+            secondary_model, string_parts, pipeline_depth=pipeline_depth
+        )
         self.stream = True
 
     def disable_real_time_streaming(self, keep_secondary_model_loaded=False):

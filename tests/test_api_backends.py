@@ -43,7 +43,7 @@ def lm(model):
 def test_device_backend_matches_host(model, lm, example_wav):
     waveform = load_audio(example_wav)[:48000]
     rec = Recognizer(model=model, lm=lm, alpha=1.0, beta=0.3)
-    rec.update_decoder(beam_width=8)
+    rec.update_decoder(beam_width=8, backend="host")
     host_out = rec.recognize(waveform)
 
     rec.update_decoder(backend="device")
@@ -53,6 +53,39 @@ def test_device_backend_matches_host(model, lm, example_wav):
     # hot-swap back
     rec.update_decoder(backend="host")
     assert rec.recognize(waveform) == host_out
+
+
+def test_auto_backend_prefers_device_for_packable_lm(model, lm):
+    """Default backend is 'auto': an enumerable LM packs into HBM tables
+    and the device beam becomes the engine decoder (round-3 verdict
+    item 5 — the host C++ beam is ~9x slower on this host class and
+    stays the fallback for probing-format .klm binaries)."""
+    from danspeech_tpu.decode.device_beam import DeviceBeamDecoder
+
+    rec = Recognizer(model=model, lm=lm, alpha=1.0, beta=0.3)
+    eng = rec.danspeech_recognizer
+    assert eng.decoder_backend == "auto"
+    assert isinstance(eng.decoder, DeviceBeamDecoder)
+
+
+def test_auto_backend_falls_back_to_host_for_unpackable_lm(model, tmp_path):
+    """A probing-format .klm cannot be re-keyed for the device scheme;
+    'auto' must resolve to the threaded C++/host decoder."""
+    from danspeech_tpu.decode.beam import BeamCTCDecoder
+    from danspeech_tpu.decode.kenlm_reader import write_kenlm_probing
+    from danspeech_tpu.decode.lm import NgramLM
+
+    lm2 = NgramLM(2)
+    for w in ("hej", "med", "dig"):
+        lm2.add_ngram((w,), -1.0, -0.3)
+    lm2.add_ngram(("hej", "med"), -0.5)
+    path = str(tmp_path / "probe.klm")
+    write_kenlm_probing(lm2, path)
+
+    rec = Recognizer(model=model, lm=path, alpha=1.0, beta=0.3)
+    eng = rec.danspeech_recognizer
+    assert eng.decoder_backend == "auto"
+    assert isinstance(eng.decoder, BeamCTCDecoder)
 
 
 def test_sharded_backend_matches_host(model, lm, example_wav):

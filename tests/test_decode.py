@@ -3,7 +3,11 @@
 import numpy as np
 import pytest
 
-from danspeech_tpu.decode.greedy import GreedyDecoder, collapse_sequence
+from danspeech_tpu.decode.greedy import (
+    GreedyDecoder,
+    collapse_batch,
+    collapse_sequence,
+)
 from danspeech_tpu.decode.metrics import cer, levenshtein, wer
 
 LABELS = "_abcdefghijklmnopqrstuvwxyzæøåéü "
@@ -48,6 +52,23 @@ def test_collapse_sequence():
     s, off = collapse_sequence(seq, 6, LABELS, 0)
     assert s == "aab"
     np.testing.assert_array_equal(off, [0, 3, 4])
+
+
+def test_collapse_batch_matches_per_row():
+    """The whole-matrix serving collapse equals per-row collapse_sequence
+    for random paths, varying sizes, uint8 dtype, and edge rows."""
+    rng = np.random.default_rng(7)
+    batch, t = 9, 50
+    paths = rng.integers(0, len(LABELS), size=(batch, t)).astype(np.uint8)
+    paths[3] = 0  # all blanks
+    paths[4] = 5  # one long repeat
+    sizes = np.array([50, 1, 0, 50, 37, 13, 50, 2, 49])
+    got = collapse_batch(paths, sizes, LABELS, 0)
+    want = [
+        collapse_sequence(paths[b], int(sizes[b]), LABELS, 0)[0]
+        for b in range(batch)
+    ]
+    assert got == want
 
 
 def test_greedy_decoder_against_reference_loop():

@@ -48,14 +48,17 @@ def mixed_waveforms(example_wavs):
 
 
 def test_plan_groups_structure(engine, mixed_waveforms):
-    groups = engine._plan_groups(mixed_waveforms)
+    plans = engine._plan_groups(mixed_waveforms)
     q = engine.SAMPLE_BUCKET
 
-    covered = sorted(i for idxs, _, _ in groups for i in idxs)
+    covered = sorted(i for idxs, _ in plans for i in idxs)
     assert covered == list(range(len(mixed_waveforms)))
 
-    for idxs, batch, lengths in groups:
-        rows, maxlen = batch.shape
+    engine._staging_used = set()
+    for idxs, maxlen in plans:
+        batch, lengths = engine._stage_group(mixed_waveforms, idxs, maxlen)
+        rows = batch.shape[0]
+        assert batch.shape[1] == maxlen
         # one length bucket per group, padded to the bucket boundary
         assert maxlen % q == 0
         for j, i in enumerate(idxs):
@@ -64,11 +67,45 @@ def test_plan_groups_structure(engine, mixed_waveforms):
             assert maxlen - q < n <= maxlen
             np.testing.assert_array_equal(batch[j, :n], mixed_waveforms[i])
             assert not batch[j, n:].any()
-        # row count is a power of two; pad rows replicate row 0
+        # row count is a power of two; pad rows only pin a real length
         assert rows & (rows - 1) == 0 and rows >= len(idxs)
         for j in range(len(idxs), rows):
-            np.testing.assert_array_equal(batch[j], batch[0])
             assert lengths[j] == lengths[0]
+
+
+def test_staging_buffers_pinned_and_int16(engine, mixed_waveforms):
+    """The staging buffer for a (shape, dtype) persists across calls; a
+    same-shape group within one call gets a fresh array (the first
+    transfer may still be in flight). All-int16 inputs stage as int16
+    (half the tunnel bytes); mixed inputs fall back to float32."""
+    engine._staging_used = set()
+    a, _ = engine._stage_group(mixed_waveforms, [0], 16000)
+    b, _ = engine._stage_group(mixed_waveforms, [1], 16000)
+    assert a is not b and a.dtype == np.float32
+    engine._staging_used = set()
+    c, _ = engine._stage_group(mixed_waveforms, [0], 16000)
+    assert c is b  # reused across "calls" (most recent pinned buffer)
+
+    pcm = [np.ones(9600, np.int16), np.arange(12000, dtype=np.int16)]
+    engine._staging_used = set()
+    d, lens = engine._stage_group(pcm, [0, 1], 16000)
+    assert d.dtype == np.int16
+    np.testing.assert_array_equal(d[1, :12000], pcm[1])
+    assert list(lens[:2]) == [9600, 12000]
+    engine._staging_used = set()
+    e, _ = engine._stage_group([pcm[0], mixed_waveforms[0]], [0, 1], 16000)
+    assert e.dtype == np.float32
+
+
+def test_int16_inputs_match_float(engine, mixed_waveforms):
+    """int16 PCM inputs decode identically to the same samples as floats
+    (the device casts; values are exactly representable)."""
+    ints = [
+        np.clip(np.round(w), -32768, 32767).astype(np.int16)
+        for w in mixed_waveforms[:3]
+    ]
+    floats = [i.astype(np.float32) for i in ints]
+    assert engine.transcribe_batch(ints) == engine.transcribe_batch(floats)
 
 
 def test_batch_matches_singles_across_buckets(engine, mixed_waveforms):
@@ -82,9 +119,9 @@ def test_row_group_splitting(engine, mixed_waveforms, monkeypatch):
     groups; results must still come back in input order."""
     baseline = engine.transcribe_batch(mixed_waveforms)
     monkeypatch.setattr(DanSpeechRecognizer, "MAX_BATCH_ROWS", 2)
-    groups = engine._plan_groups(mixed_waveforms)
-    assert max(len(idxs) for idxs, _, _ in groups) <= 2
-    assert len(groups) > 3
+    plans = engine._plan_groups(mixed_waveforms)
+    assert max(len(idxs) for idxs, _ in plans) <= 2
+    assert len(plans) > 3
     assert engine.transcribe_batch(mixed_waveforms) == baseline
 
 

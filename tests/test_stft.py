@@ -166,6 +166,26 @@ def test_streaming_parser_short_last_chunk_resets():
     assert parser.alpha == 0.0 and not parser.has_buffer
 
 
+def test_streaming_parser_short_mid_chunk_buffers(waveform):
+    """A non-final chunk shorter than n_fft must produce no frames and
+    carry its samples into the next chunk (ADVICE r3: previously it
+    poisoned the running stats with NaN or made as_strided raise). The
+    concatenation of dribbled micro-chunks must yield the same frames and
+    stats as one combined chunk."""
+    y = waveform[:8000]
+    parser = InferenceSpectrogramAudioParser(get_default_audio_config())
+    outs = []
+    for part in (y[:100], y[100:250], y[250:300], y[300:]):
+        got = parser.parse_audio(part, is_last=False)
+        outs.append(np.asarray(got))
+    assert all(o.size == 0 for o in outs[:-1])
+    assert np.isfinite(outs[-1]).all() and parser.input_std > 0
+
+    one_shot = InferenceSpectrogramAudioParser(get_default_audio_config())
+    ref = np.asarray(one_shot.parse_audio(y, is_last=False))
+    np.testing.assert_allclose(outs[-1], ref, atol=1e-6)
+
+
 def test_batched_log_spectrogram_matches_single(waveform):
     lens = [16000, 12000]
     maxlen = max(lens)

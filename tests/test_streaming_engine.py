@@ -98,20 +98,20 @@ def test_secondary_model_rescore_matches_direct(stream_model, secondary_model):
     assert len(final) > 0
 
 
+class RecordingDecoder:
+    def __init__(self):
+        self.calls = []
+
+    def decode(self, probs, sizes=None):
+        probs = np.asarray(probs)
+        self.calls.append(probs.shape)
+        return [["final-redecode"]], [[np.zeros(0, np.int32)]]
+
+
 def test_lm_final_redecode_consumes_concatenated_probs(stream_model):
     """With an LM decoder and no secondary model, the final chunk re-decodes
     the concatenated per-chunk probability stream through the beam decoder
     (reference :203-208)."""
-
-    class RecordingDecoder:
-        def __init__(self):
-            self.calls = []
-
-        def decode(self, probs, sizes=None):
-            probs = np.asarray(probs)
-            self.calls.append(probs.shape)
-            return [["final-redecode"]], [[np.zeros(0, np.int32)]]
-
     rng = np.random.default_rng(1)
     chunks = _chunks(rng)
 
@@ -137,3 +137,60 @@ def test_lm_final_redecode_consumes_concatenated_probs(stream_model):
     # the concatenated stream covers every emitted chunk's frames: more
     # frames than any single chunk could produce
     assert t_total > 40
+
+
+def _run_stream(eng, chunks, **enable_kwargs):
+    eng.enable_streaming(**enable_kwargs)
+    outs = []
+    for i, ch in enumerate(chunks):
+        outs.append(
+            eng.streaming_transcribe(
+                ch, is_last=(i == len(chunks) - 1), is_first=(i == 0)
+            )
+        )
+    return outs
+
+
+def test_pipelined_streaming_matches_sync(stream_model):
+    """pipeline_depth=D must produce the same final transcript and the
+    same cumulative partials, shifted D chunks later (engine.
+    enable_streaming pipelined mode)."""
+    rng = np.random.default_rng(3)
+    chunks = _chunks(rng, n=6)
+    eng = DanSpeechRecognizer(model_name=stream_model)
+
+    sync = _run_stream(eng, chunks, return_string_parts=False)
+    assert sync[-1]  # final transcript non-empty
+
+    for depth in (1, 2):
+        piped = _run_stream(
+            eng, chunks, return_string_parts=False, pipeline_depth=depth
+        )
+        assert piped[-1] == sync[-1]
+        # chunk 0 primes the convs (returns "") in both modes; partials
+        # for chunks 1..n-2 arrive `depth` later, the final drains all
+        assert piped[1 : 1 + depth] == [""] * depth
+        assert piped[1 + depth : -1] == sync[1 : -1 - depth]
+
+
+def test_pipelined_streaming_final_with_lm(stream_model):
+    """The pipelined drain must hand the LM final re-decode the identical
+    concatenated probs stream as sync mode."""
+    rng = np.random.default_rng(4)
+    chunks = _chunks(rng, n=5)
+
+    streams = []
+    for depth in (0, 2):
+        eng = DanSpeechRecognizer(model_name=stream_model)
+        eng.enable_streaming(return_string_parts=False, pipeline_depth=depth)
+        eng.lm = "not-greedy"
+        rec = RecordingDecoder()
+        eng.decoder = rec
+        for i, ch in enumerate(chunks):
+            out = eng.streaming_transcribe(
+                ch, is_last=(i == len(chunks) - 1), is_first=(i == 0)
+            )
+        assert out == "final-redecode"
+        assert len(rec.calls) == 1
+        streams.append(rec.calls[0])
+    assert streams[0] == streams[1]  # same (B, T_total, C) stream shape
