@@ -26,7 +26,10 @@ from danspeech_tpu.models import deepspeech as ds
 from danspeech_tpu.models.config import DeepSpeechConfig
 from danspeech_tpu.ops import stft as stft_ops
 
-B = int(os.environ.get("B", "104"))
+# 128 = the serving batch (one full MXU row tile, what bench.py's dispatch
+# groups use); the fused-kernel MFU sweep (gru_fused_mfu_probe.py) measures
+# B=128/unroll=1 as the best operating point (62.7 % vs 58.2 % at B=104)
+B = int(os.environ.get("B", "128"))
 ITERS = int(os.environ.get("ITERS", "10"))
 
 config = DeepSpeechConfig(

@@ -192,8 +192,13 @@ def main():
             "greedy decode were 65 ms and 27 ms per chunk in round 2 "
             "(device STFT round trips / probs re-upload for argmax) and "
             "are now sub-ms; what remains of the total is tunnel round "
-            "trips (~30 ms floor) around a 2.4 ms device step — on a "
-            "locally-attached TPU the same path is device-bound."
+            "trips around a few-ms device step. pipeline_depth>0 "
+            "(enable_streaming) overlaps the result fetch with the next "
+            "chunk's dispatch and removes ~one RTT per chunk, but "
+            "plateaus at depth 1-2: the stdio relay serializes concurrent "
+            "fetches, so the remaining per-chunk cost IS one relay round "
+            "trip — on a locally-attached TPU the same path is "
+            "device-bound (~4 ms/chunk)."
         ),
     }
     print(json.dumps(out, indent=2))
