@@ -201,6 +201,8 @@ def bench_cpu_baseline(waves) -> float:
                 "audio_s_per_s": rate,
                 "note": "torch CPU, DanSpeechPrimary shape, batch=1 per reference",
                 "machine": os.uname().nodename,
+                "measured": time.strftime("%Y-%m-%d")
+                + " (frozen denominator for vs_baseline across rounds)",
             },
             f,
             indent=2,
