@@ -42,7 +42,9 @@ w_hb = jnp.asarray(rng.normal(size=(H, 3 * H)) * 0.02, jnp.bfloat16)
 zeros3 = jnp.zeros((3 * H,), jnp.float32)
 
 results = []
-for B, unroll in itertools.product((104, 128), (1, 2, 4, 8)):
+BS = tuple(int(v) for v in os.environ.get("BS", "104,128").split(","))
+UNROLLS = tuple(int(v) for v in os.environ.get("UNROLLS", "1,2,4,8").split(","))
+for B, unroll in itertools.product(BS, UNROLLS):
     x = jnp.asarray(rng.normal(size=(T, B, D)), jnp.bfloat16)
     h0 = jnp.zeros((B, H), jnp.float32)
     lens = jnp.full((B,), T, jnp.int32)

@@ -191,3 +191,33 @@ def energy_vad_segments(
     if start is not None and len(x) - start > min_segment_samples:
         segments.append((start, len(x)))
     return segments
+
+
+def ulaw_encode(x: np.ndarray) -> np.ndarray:
+    """G.711 mu-law encode int16 samples -> uint8 codes.
+
+    Bit-exact with CPython's ``audioop.lin2ulaw(..., 2)`` (14-bit internal
+    representation, arithmetic pre-shift) — pinned in tests/test_audio.py.
+    Used by the engine's opt-in ``transfer_format="ulaw"`` serving mode:
+    one byte per sample over the host->device link, decoded on device by a
+    256-entry table lookup (engine._forward_jit).
+    """
+    x = np.asarray(x, np.int16).astype(np.int32) >> 2  # 14-bit, floor shift
+    mask = np.where(x < 0, 0x7F, 0xFF)
+    mag = np.where(x < 0, -x, x)
+    mag = np.minimum(mag, 8159) + 33
+    exp = np.frexp(mag.astype(np.float64))[1] - 6  # segment 0..8
+    seg = np.minimum(exp, 7)
+    uval = (seg << 4) | ((mag >> (seg + 1)) & 0xF)
+    uval = np.where(exp >= 8, 0x7F, uval)
+    return (uval ^ mask).astype(np.uint8)
+
+
+def ulaw_decode_table() -> np.ndarray:
+    """The 256-entry mu-law -> int16 decode table (audioop.ulaw2lin parity)."""
+    code = (~np.arange(256, dtype=np.int32)) & 0xFF
+    sign = code & 0x80
+    exp = (code >> 4) & 7
+    mant = code & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)

@@ -56,7 +56,18 @@ class DanSpeechRecognizer:
         with_gpu: bool = False,  # accepted for API parity; device is managed by JAX
         beam_width: int = 64,
         compute_dtype: str = "auto",
+        transfer_format: str = "auto",
     ):
+        # "auto": stage int16 PCM verbatim (float32 otherwise), exact.
+        # "ulaw": OPT-IN lossy mode — one byte/sample over the link
+        # (G.711 mu-law, audioop-parity codec in audio/dsp.py, decoded on
+        # device by a 256-entry LUT); doubles the serving ceiling on
+        # transfer-bound links at the telephony standard's accuracy cost.
+        # Never the default; the engine output equals the exact path fed
+        # mu-law round-tripped audio (tests/test_engine_scheduler.py).
+        if transfer_format not in ("auto", "ulaw"):
+            raise ValueError(f"unknown transfer_format: {transfer_format!r}")
+        self.transfer_format = transfer_format
         devices = jax.devices()
         print(f"Using device: {devices[0].platform}:{devices[0]}")
         # Matmul precision for inference: bfloat16 runs the MXU at full rate
@@ -294,8 +305,17 @@ class DanSpeechRecognizer:
             @jax.jit
             def run(params, waveforms, lengths):
                 # int16 PCM rides the tunnel at half the bytes of float32;
-                # the cast to the STFT's float dtype happens on device
-                if waveforms.dtype != jnp.float32:
+                # uint8 is the opt-in mu-law mode (one 256-entry LUT gather
+                # on device); either way the cast to the STFT's float dtype
+                # happens on device
+                if waveforms.dtype == jnp.uint8:
+                    from .audio.dsp import ulaw_decode_table
+
+                    table = jnp.asarray(
+                        ulaw_decode_table().astype(np.float32)
+                    )
+                    waveforms = table[waveforms]
+                elif waveforms.dtype != jnp.float32:
                     waveforms = waveforms.astype(jnp.float32)
                 spect, frame_lens = stft_ops.batched_log_spectrogram(
                     waveforms,
@@ -445,6 +465,21 @@ class DanSpeechRecognizer:
         dropped), only their lengths are pinned to a real row's.
         """
         rows = self._row_quantum(len(chunk))
+        if self.transfer_format == "ulaw":
+            from .audio.dsp import ulaw_encode
+
+            batch = self._staging_buffer((rows, maxlen), np.uint8)
+            lengths = np.empty((rows,), dtype=np.int32)
+            zero = ulaw_encode(np.zeros(1, np.int16))[0]
+            for j, i in enumerate(chunk):
+                r = recordings[i]
+                if r.dtype != np.int16:
+                    r = np.clip(np.round(r), -32768, 32767).astype(np.int16)
+                batch[j, : len(r)] = ulaw_encode(r)
+                batch[j, len(r) :] = zero
+                lengths[j] = len(recordings[i])
+            lengths[len(chunk) :] = lengths[0]
+            return batch, lengths
         dtype = (
             np.int16
             if all(recordings[i].dtype == np.int16 for i in chunk)

@@ -352,15 +352,16 @@ def _gru_bidi_fused_kernel(
         base_f = (i - 1) * unroll
         base_b = (n_blocks - i) * unroll
 
-        def cell(h, gx, wh_ref, bh_ref, bi_ref, t):
-            gx = gx + bi_ref[:]
-            gh = (
+        def gh_of(h, wh_ref, bh_ref):
+            return (
                 jnp.dot(
                     h.astype(wh_ref.dtype), wh_ref[:],
                     preferred_element_type=jnp.float32,
                 )
                 + bh_ref[:]
             )
+
+        def gates(h, gx, gh, t):
             r = jax.nn.sigmoid(gx[:, :hidden] + gh[:, :hidden])
             z = jax.nn.sigmoid(
                 gx[:, hidden : 2 * hidden] + gh[:, hidden : 2 * hidden]
@@ -370,13 +371,18 @@ def _gru_bidi_fused_kernel(
             m = (lengths > t).astype(jnp.float32)
             return m * h_new + (1.0 - m) * h, h_new * m
 
+        # both directions' gh matmuls issue back to back so the second
+        # MXU matmul overlaps the first chain's VPU gate phase (the two
+        # chains are independent within a time step)
         for k in range(unroll):
             kb = unroll - 1 - k
-            h_f, out_f = cell(
-                h_f, gxf_scr[use, k], whf_ref, bhf_ref, bif_ref, base_f + k
+            ghf = gh_of(h_f, whf_ref, bhf_ref)
+            ghb = gh_of(h_b, whb_ref, bhb_ref)
+            h_f, out_f = gates(
+                h_f, gxf_scr[use, k] + bif_ref[:], ghf, base_f + k
             )
-            h_b, out_b = cell(
-                h_b, gxb_scr[use, kb], whb_ref, bhb_ref, bib_ref, base_b + kb
+            h_b, out_b = gates(
+                h_b, gxb_scr[use, kb] + bib_ref[:], ghb, base_b + kb
             )
             outf_ref[k] = out_f.astype(outf_ref.dtype)
             outb_ref[kb] = out_b.astype(outb_ref.dtype)

@@ -166,3 +166,20 @@ def test_energy_vad_segments_silence_returns_empty():
     from danspeech_tpu.audio.dsp import energy_vad_segments
 
     assert energy_vad_segments(np.zeros(64000, np.float32)) == []
+
+
+def test_ulaw_matches_audioop():
+    """numpy G.711 mu-law == CPython audioop (14-bit internals, floor
+    pre-shift) over the full int16 range, both directions."""
+    from danspeech_tpu.audio.dsp import ulaw_decode_table, ulaw_encode
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    ref_enc = np.frombuffer(audioop.lin2ulaw(x.tobytes(), 2), np.uint8)
+    np.testing.assert_array_equal(ulaw_encode(x), ref_enc)
+
+    codes = np.arange(256, dtype=np.uint8)
+    ref_dec = np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), np.int16)
+    np.testing.assert_array_equal(ulaw_decode_table()[codes], ref_dec)
+    # silence encodes to a code that decodes back to exactly 0 (the
+    # engine's pad-tail invariant for conv boundaries)
+    assert ulaw_decode_table()[ulaw_encode(np.zeros(1, np.int16))[0]] == 0

@@ -171,3 +171,51 @@ def test_update_decoder_alpha_beta_zero(model, lm):
     eng.update_decoder(alpha=0.0, beta=0.0)
     assert eng.alpha == 0.0 and eng.beta == 0.0
     assert eng.decoder.alpha == 0.0 and eng.decoder.beta == 0.0
+
+
+def test_ulaw_transfer_mode(model, mixed_waveforms):
+    """transfer_format='ulaw' (opt-in, 1 byte/sample): the staged codes
+    must decode on device to EXACTLY the audioop mu-law round trip of the
+    input — the compression is the only perturbation — and the engine
+    must match the exact path run on that round-tripped audio.
+
+    (Transcript equality vs the un-compressed path is NOT asserted:
+    random-weight fixtures are chaotic under any perturbation. mu-law is
+    the telephony standard; its accuracy cost on real speech models is a
+    deployment decision the opt-in leaves to the caller.)
+    """
+    import audioop
+
+    from danspeech_tpu.audio.dsp import ulaw_decode_table
+
+    lossy = DanSpeechRecognizer(model_name=model, transfer_format="ulaw")
+    waves = [
+        np.clip(np.round(w), -32768, 32767).astype(np.int16)
+        for w in mixed_waveforms[:3]
+    ]
+
+    # staged codes decode to the audioop round trip, pad tail decodes to 0
+    lossy._staging_used = set()
+    batch, lens = lossy._stage_group(waves, [0, 1], 32000)
+    table = ulaw_decode_table()
+    for j in (0, 1):
+        n = len(waves[j])
+        ref = np.frombuffer(
+            audioop.ulaw2lin(audioop.lin2ulaw(waves[j].tobytes(), 2), 2),
+            np.int16,
+        )
+        np.testing.assert_array_equal(table[batch[j, :n]], ref)
+        assert not table[batch[j, n:]].any()
+
+    # engine output == exact path fed the round-tripped audio
+    exact = DanSpeechRecognizer(model_name=model)
+    rounded = [
+        np.frombuffer(
+            audioop.ulaw2lin(audioop.lin2ulaw(w.tobytes(), 2), 2), np.int16
+        )
+        for w in waves
+    ]
+    assert lossy.transcribe_batch(waves) == exact.transcribe_batch(rounded)
+
+    with pytest.raises(ValueError, match="transfer_format"):
+        DanSpeechRecognizer(model_name=model, transfer_format="int4")
