@@ -111,6 +111,10 @@ def main():
     eng_beam = DanSpeechRecognizer(
         model_name=model, lm_name=lm, alpha=1.3, beta=0.2, beam_width=64
     )
+    # config 3 measures the HOST C++ beam explicitly: the engine default
+    # backend is now "auto", which would resolve this packable ARPA LM to
+    # the device beam and silently duplicate config 3.5
+    eng_beam.update_decoder(backend="host")
     sub = waves[:4]
     eng_beam.transcribe_batch(sub)  # warm
     t0 = time.perf_counter()

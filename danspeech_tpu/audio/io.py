@@ -342,14 +342,16 @@ def load_audio_pcm16(path) -> np.ndarray:
     import scipy.io.wavfile as wavfile
 
     _, sound = wavfile.read(path)
-    if sound.ndim > 1:
-        if sound.shape[1] == 1:
-            sound = sound.squeeze()
-        else:
-            sound = np.rint(sound.mean(axis=1)).astype(np.int16)
+    # dtype check BEFORE the downmix cast: a float/int32 stereo file must
+    # raise, not get silently quantized to garbage by the int16 cast
     if sound.dtype != np.int16:
         raise ValueError(
             f"{path}: not 16-bit PCM (got {sound.dtype}); "
             "use load_audio_wavPCM"
         )
+    if sound.ndim > 1:
+        if sound.shape[1] == 1:
+            sound = sound.squeeze()
+        else:
+            sound = np.rint(sound.mean(axis=1)).astype(np.int16)
     return sound

@@ -155,8 +155,11 @@ class DanSpeechRecognizer:
         ``backend`` selects where beam search runs when an LM/beam decoder
         is active (greedy is always a device argmax + host collapse):
 
-        - "host" (default) — the threaded C++ prefix beam search
-          (native/ctcbeam) with its Python oracle fallback;
+        - "auto" (default) — "device" whenever the LM packs into HBM hash
+          tables (ARPA/NgramLM/trie .klm), else "host" (probing .klm
+          binaries cannot be re-keyed for the device scheme);
+        - "host" — the threaded C++ prefix beam search (native/ctcbeam)
+          with its Python oracle fallback;
         - "device" — the jitted on-device search with HBM-resident LM
           tables (decode/device_beam.py + device_lm.py); composes with
           data-parallel batches;
@@ -433,6 +436,12 @@ class DanSpeechRecognizer:
                 plans.append((idxs[s : s + self.MAX_BATCH_ROWS], maxlen))
         return plans
 
+    # total bytes of pinned staging buffers kept across calls; above this
+    # the least-recently-used keys are dropped (a long-lived server seeing
+    # varied lengths would otherwise pin one buffer per (rows, bucket,
+    # dtype) forever)
+    STAGING_CACHE_BYTES = 256 * 1024 * 1024
+
     def _staging_buffer(self, shape, dtype) -> np.ndarray:
         """A pinned host staging buffer for one dispatch group.
 
@@ -442,16 +451,23 @@ class DanSpeechRecognizer:
         call a shape key is handed out once — a second group of the same
         shape gets a fresh array because the first transfer may still be
         in flight; by the time the call returns every result was fetched,
-        so reuse across calls is safe.
+        so reuse across calls is safe (_transcribe_pipelined drops the
+        whole cache if it exits exceptionally, when that invariant could
+        be violated by an upload still in flight).
         """
         key = (tuple(shape), np.dtype(dtype).str)
-        buf = self._staging.get(key)
+        buf = self._staging.pop(key, None)  # re-insert => LRU order
         if buf is None or key in self._staging_used:
             # np.zeros (lazy calloc): pad rows start finite/NaN-free, and
             # tail zeroing in _stage_group only touches real rows
             buf = np.zeros(shape, dtype)
-            self._staging[key] = buf
+        self._staging[key] = buf
         self._staging_used.add(key)
+        total = sum(b.nbytes for b in self._staging.values())
+        for k in list(self._staging):
+            if total <= self.STAGING_CACHE_BYTES or k in self._staging_used:
+                continue
+            total -= self._staging.pop(k).nbytes
         return buf
 
     def _stage_group(self, recordings, chunk, maxlen):
@@ -511,6 +527,17 @@ class DanSpeechRecognizer:
         decode results in input order."""
         if self.model is None:
             raise ModelNotInitialized("No acoustic model loaded")
+        try:
+            return self._transcribe_pipelined_inner(recordings, show_all)
+        except BaseException:
+            # an exceptional exit (decoder error, KeyboardInterrupt) can
+            # leave async uploads still reading pinned buffers — drop the
+            # cache so the next call cannot overwrite an in-flight source
+            self._staging = {}
+            self._staging_used = set()
+            raise
+
+    def _transcribe_pipelined_inner(self, recordings, show_all):
         plans = self._plan_groups(recordings)
         greedy_fast = isinstance(self.decoder, GreedyDecoder)
         params = self._compute_params
@@ -538,8 +565,12 @@ class DanSpeechRecognizer:
             from .decode.greedy import collapse_batch
 
             for idxs, paths, out_lens in pending:
+                # pad rows hold garbage paths — slice them off before the
+                # host collapse (the device/sharded beam branch below does
+                # the same for its host decoders)
                 strings = collapse_batch(
-                    np.asarray(paths), np.asarray(out_lens),
+                    np.asarray(paths)[: len(idxs)],
+                    np.asarray(out_lens)[: len(idxs)],
                     self.labels, blank,
                 )
                 for j, i in enumerate(idxs):
@@ -714,6 +745,13 @@ class DanSpeechRecognizer:
                 out = self._absorb_stream_result(probs, out_len)
 
         if is_last:
+            # drain results still in flight even when this final chunk
+            # produced no frames (shorter than n_fft — the normal
+            # end-of-mic flush): without this, pipelined mode would
+            # finalize missing up to pipeline_depth chunks of transcript
+            for queued in self._stream_queue:
+                self._absorb_stream_result(*queued)
+            self._stream_queue = []
             if len(self.iterating_transcript) > 1:
                 if self.secondary_model is not None:
                     final = np.concatenate(self.spectrograms, axis=1)

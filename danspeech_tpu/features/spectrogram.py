@@ -106,11 +106,10 @@ class InferenceSpectrogramAudioParser(AudioParser):
             # too short for even one frame (ADVICE r3): hold every sample
             # for the next chunk — without this, n_frames <= 0 poisons the
             # running mean/std with NaN (0 frames) or makes as_strided
-            # raise (negative frames). A final chunk ends the stream like
-            # the reference's short-final drop (parsers.py:112-114).
-            if is_last:
-                self.reset()
-                return []
+            # raise (negative frames). is_last cannot reach here: a final
+            # chunk shorter than n_fft already returned above, and with a
+            # buffer the concatenation is only shorter than n_fft when the
+            # raw part was too (buffer >= hop tiles exactly).
             self.buffer = part
             self.has_buffer = True
             return []

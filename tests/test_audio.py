@@ -183,3 +183,26 @@ def test_ulaw_matches_audioop():
     # silence encodes to a code that decodes back to exactly 0 (the
     # engine's pad-tail invariant for conv boundaries)
     assert ulaw_decode_table()[ulaw_encode(np.zeros(1, np.int16))[0]] == 0
+
+
+def test_load_audio_pcm16_rejects_non_int16(tmp_path):
+    """A non-int16 WAV must raise BEFORE any downmix cast could silently
+    quantize it to garbage (code-review r4 finding #2)."""
+    import scipy.io.wavfile as wavfile
+
+    from danspeech_tpu.audio import load_audio_pcm16
+
+    rng = np.random.default_rng(0)
+    stereo_f32 = rng.normal(size=(800, 2)).astype(np.float32) * 0.5
+    p = tmp_path / "f32_stereo.wav"
+    wavfile.write(p, 16000, stereo_f32)
+    with pytest.raises(ValueError, match="not 16-bit PCM"):
+        load_audio_pcm16(str(p))
+
+    stereo_i16 = (stereo_f32 * 30000).astype(np.int16)
+    p2 = tmp_path / "i16_stereo.wav"
+    wavfile.write(p2, 16000, stereo_i16)
+    out = load_audio_pcm16(str(p2))
+    np.testing.assert_array_equal(
+        out, np.rint(stereo_i16.mean(axis=1)).astype(np.int16)
+    )

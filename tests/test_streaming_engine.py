@@ -194,3 +194,21 @@ def test_pipelined_streaming_final_with_lm(stream_model):
         assert len(rec.calls) == 1
         streams.append(rec.calls[0])
     assert streams[0] == streams[1]  # same (B, T_total, C) stream shape
+
+
+def test_pipelined_drain_on_frameless_final_chunk(stream_model):
+    """A final chunk shorter than n_fft (the normal end-of-mic flush)
+    produces no frames — the pipelined queue must still drain so the
+    final transcript matches sync mode (code-review r4 finding #1)."""
+    rng = np.random.default_rng(9)
+    chunks = _chunks(rng, n=5) + [rng.normal(size=100).astype(np.float32)]
+
+    eng = DanSpeechRecognizer(model_name=stream_model)
+    sync = _run_stream(eng, chunks, return_string_parts=False)
+    piped = _run_stream(
+        eng, chunks, return_string_parts=False, pipeline_depth=2
+    )
+    assert piped[-1] == sync[-1]
+    # before the final flush the pipelined partials lag by depth chunks;
+    # the drain on the frameless final chunk is what catches them up
+    assert len(piped[-2]) < len(piped[-1])
