@@ -18,6 +18,7 @@ applies softmax at inference, reference model.py:84-93).
 from __future__ import annotations
 
 import math
+import warnings
 
 import numpy as np
 
@@ -103,7 +104,6 @@ def prefix_beam_search(
     cutoff_top_n: int = 40,
     cutoff_prob: float = 1.0,
     scorer: _LMScorer | None = None,
-    space_index: int | None = None,
 ):
     """Beam search over one utterance's (T, C) probability matrix.
 
@@ -232,12 +232,18 @@ class BeamCTCDecoder(Decoder):
         else:
             self.scorer = None
 
+        # trie .klm models are walkable — convert so the native packer
+        # (which needs enumerable .tables) gets an NgramLM instead of
+        # silently losing the C++ path to the AttributeError below
+        native_lm = self.scorer.lm if self.scorer else None
+        if native_lm is not None and hasattr(native_lm, "to_ngram_lm"):
+            native_lm = native_lm.to_ngram_lm()
         try:
             from .native_beam import NativeBeamDecoder
 
             self._native = NativeBeamDecoder(
                 labels=labels,
-                lm=self.scorer.lm if self.scorer else None,
+                lm=native_lm,
                 alpha=alpha,
                 beta=beta,
                 cutoff_top_n=cutoff_top_n,
@@ -247,8 +253,15 @@ class BeamCTCDecoder(Decoder):
                 blank_index=blank_index,
                 space_index=self.space_index,
             )
-        except Exception:
-            self._native = None  # pure-Python fallback
+        except Exception as e:
+            # build toolchain missing / unpackable LM (e.g. probing-hash
+            # vocab without enumerable tables): pure-Python oracle decode
+            warnings.warn(
+                f"native beam decoder unavailable ({type(e).__name__}: {e});"
+                " falling back to the pure-Python beam search",
+                stacklevel=2,
+            )
+            self._native = None
 
     def decode(self, probs, sizes=None):
         """Decode (B, T, C) probabilities -> (strings, offsets).
@@ -272,7 +285,6 @@ class BeamCTCDecoder(Decoder):
                     cutoff_top_n=self.cutoff_top_n,
                     cutoff_prob=self.cutoff_prob,
                     scorer=self.scorer,
-                    space_index=self.space_index,
                 )
             strings = ["".join(self.labels[c] for c in r[0]) for r in results]
             offsets = [np.asarray(r[2], dtype=np.int32) for r in results]

@@ -406,18 +406,9 @@ class DeviceBeamDecoder:
         self.space_index = labels.index(" ") if " " in labels else -1
         self.alpha = alpha
         self.beta = beta
-        if lm is not None:
-            from .device_lm import DeviceLM, pack_device_lm
+        from .lm import coerce_device_lm
 
-            if isinstance(lm, str):
-                from .lm import load_lm
-
-                lm = load_lm(lm)
-            if hasattr(lm, "to_ngram_lm"):  # trie .klm: walkable
-                lm = lm.to_ngram_lm()
-            if not isinstance(lm, DeviceLM):
-                lm = pack_device_lm(lm, labels)
-        self.lm = lm
+        self.lm = coerce_device_lm(lm, labels)
 
     # engine hint: decode(n_best=...) limits the beams fetched to host
     supports_n_best = True
@@ -439,18 +430,27 @@ class DeviceBeamDecoder:
             lm=self.lm, alpha=self.alpha, beta=self.beta,
             space=self.space_index, cutoff_top_n=self.cutoff_top_n,
         )
-        top = self.beam_width if n_best is None else min(n_best, self.beam_width)
-        labels, times = np.asarray(labels[:, :top]), np.asarray(times[:, :top])
-        lens, scores = np.asarray(lens[:, :top]), np.asarray(scores)
-        all_strings, all_offsets = [], []
-        for b in range(batch):
-            strings, offsets = [], []
-            for k in range(top):
-                n = int(lens[b, k])
-                strings.append(
-                    "".join(self.labels[c] for c in labels[b, k, :n])
-                )
-                offsets.append(times[b, k, :n].astype(np.int32))
-            all_strings.append(strings)
-            all_offsets.append(offsets)
-        return all_strings, all_offsets
+        return reconstruct_beam_results(
+            labels, times, lens, self.labels, self.beam_width, n_best
+        )
+
+
+def reconstruct_beam_results(labels, times, lens, label_str, beam_width,
+                             n_best):
+    """Slice beams on device, fetch, and rebuild the reference's nested
+    (strings, offsets) layout — shared by the device and sharded decoders
+    (previously copy-pasted; r4 code-review finding)."""
+    top = beam_width if n_best is None else min(n_best, beam_width)
+    labels = np.asarray(labels[:, :top])
+    times = np.asarray(times[:, :top])
+    lens = np.asarray(lens[:, :top])
+    all_strings, all_offsets = [], []
+    for b in range(labels.shape[0]):
+        strings, offsets = [], []
+        for k in range(top):
+            n = int(lens[b, k])
+            strings.append("".join(label_str[c] for c in labels[b, k, :n]))
+            offsets.append(times[b, k, :n].astype(np.int32))
+        all_strings.append(strings)
+        all_offsets.append(offsets)
+    return all_strings, all_offsets

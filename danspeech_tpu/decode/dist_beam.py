@@ -37,7 +37,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .device_beam import (
-    NEG_INF,
     init_front,
     ptr_merge_select,
     stay_ext_candidates,
@@ -253,24 +252,13 @@ class ShardedBeamDecoder:
         self.space_index = labels.index(" ") if " " in labels else -1
         self.alpha = alpha
         self.beta = beta
-        if lm is not None:
-            from .device_lm import DeviceLM, pack_device_lm
+        from .lm import coerce_device_lm
 
-            if isinstance(lm, str):
-                from .lm import load_lm
-
-                lm = load_lm(lm)
-            if hasattr(lm, "to_ngram_lm"):  # trie .klm: walkable
-                lm = lm.to_ngram_lm()
-            if not isinstance(lm, DeviceLM):
-                lm = pack_device_lm(lm, labels)
-        self.lm = lm
+        self.lm = coerce_device_lm(lm, labels)
 
     supports_n_best = True
 
     def decode(self, probs, sizes=None, n_best: int | None = None):
-        import numpy as np
-
         probs = jnp.asarray(probs)
         batch, t_max, _ = probs.shape
         sizes = (
@@ -284,18 +272,8 @@ class ShardedBeamDecoder:
             lm=self.lm, alpha=self.alpha, beta=self.beta,
             space=self.space_index, cutoff_top_n=self.cutoff_top_n,
         )
-        top = self.beam_width if n_best is None else min(n_best, self.beam_width)
-        labels, times = np.asarray(labels[:, :top]), np.asarray(times[:, :top])
-        lens = np.asarray(lens[:, :top])
-        all_strings, all_offsets = [], []
-        for b in range(batch):
-            strings, offsets = [], []
-            for k in range(top):
-                n = int(lens[b, k])
-                strings.append(
-                    "".join(self.labels[c] for c in labels[b, k, :n])
-                )
-                offsets.append(times[b, k, :n].astype(np.int32))
-            all_strings.append(strings)
-            all_offsets.append(offsets)
-        return all_strings, all_offsets
+        from .device_beam import reconstruct_beam_results
+
+        return reconstruct_beam_results(
+            labels, times, lens, self.labels, self.beam_width, n_best
+        )

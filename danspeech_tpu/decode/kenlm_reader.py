@@ -328,6 +328,14 @@ class _HashVocab(dict):
     def __contains__(self, word):
         return self.get(word) is not None
 
+    def __getitem__(self, word):
+        # dict.__getitem__ would consult the (empty) underlying dict —
+        # score_word's `vocab[w]` must probe the hash table like get()
+        v = self.get(word)
+        if v is None:
+            raise KeyError(word)
+        return v
+
 
 # ---------------------------------------------------------------------------
 # Writer — ARPA/NgramLM -> .klm probing binary

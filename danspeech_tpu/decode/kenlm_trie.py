@@ -633,6 +633,8 @@ def write_kenlm_trie(
             path = tuple(remap[i] for i in reversed(ids))
             levels[n][path] = [p / LOG10, b / LOG10]
     # structural holes: every path prefix must exist
+    inv = {v: k2 for k2, v in remap.items()}  # invariant — hoisted out of
+    # the per-hole loop (was an O(vocab) dict build per hole)
     for n in range(order, 1, -1):
         for path in list(levels[n]):
             for k in range(n - 1, 0, -1):
@@ -642,7 +644,6 @@ def write_kenlm_trie(
                     # prefix == (w, c_{k-1}..c1) -> ngram (c1..c_{k-1}, w)
                     rev = tuple(reversed(prefix))
                     ctx, w = rev[:-1], rev[-1]
-                    inv = {v: k2 for k2, v in remap.items()}
                     p_nat = lm.score_word_ids(
                         tuple(inv[c] for c in ctx), inv[w]
                     )

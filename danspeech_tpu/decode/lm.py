@@ -176,6 +176,37 @@ def load_lm(path: str) -> NgramLM:
     return load_arpa(p)
 
 
+def coerce_device_lm(lm, labels):
+    """Resolve any LM spec (path / NgramLM / trie model / DeviceLM) to a
+    DeviceLM (HBM hash tables), or raise a clear ValueError.
+
+    The one coercion chain shared by the engine and the device/sharded
+    beam decoders (it used to be copy-pasted in three places). KenLM
+    probing binaries cannot be re-keyed for the device scheme — their
+    stored keys are hashes, the word-id tuples are unrecoverable — so
+    they get the actionable error instead of an AttributeError deep in
+    pack_device_lm.
+    """
+    if lm is None:
+        return None
+    from .device_lm import DeviceLM, pack_device_lm
+
+    if isinstance(lm, str):
+        lm = load_lm(lm)
+    if isinstance(lm, DeviceLM):
+        return lm
+    if hasattr(lm, "to_ngram_lm"):  # trie .klm binaries are walkable
+        lm = lm.to_ngram_lm()
+    if isinstance(lm, NgramLM):
+        return pack_device_lm(lm, labels)
+    raise ValueError(
+        f"LM of type {type(lm).__name__} cannot be packed for the "
+        "device backend (needs an enumerable NgramLM, e.g. from an "
+        ".arpa file); use backend='host' for probing-format KenLM "
+        ".klm binaries."
+    )
+
+
 # ---------------------------------------------------------------------------
 # Packed table (shared with the C++ decoder / device scoring)
 # ---------------------------------------------------------------------------

@@ -272,29 +272,15 @@ class DanSpeechRecognizer:
         """Resolve self.lm to a DeviceLM (HBM hash tables) or None.
 
         KenLM probing binaries score through per-order 64-bit tables that
-        cannot be re-keyed for the device scheme (their stored keys are
-        hashes, the word-id tuples are unrecoverable) — those stay on the
-        host backend with a clear error.
+        cannot be re-keyed for the device scheme — those stay on the host
+        backend with a clear error (decode/lm.py:coerce_device_lm, the one
+        coercion chain shared with the device/sharded decoders).
         """
         if self.lm in (None, "greedy"):
             return None
-        from .decode.device_lm import DeviceLM, pack_device_lm
-        from .decode.lm import NgramLM, load_lm
+        from .decode.lm import coerce_device_lm
 
-        lm = self.lm
-        if isinstance(lm, str):
-            lm = load_lm(lm)
-        if isinstance(lm, DeviceLM):
-            return lm
-        if hasattr(lm, "to_ngram_lm"):  # trie .klm binaries are walkable
-            lm = lm.to_ngram_lm()
-        if isinstance(lm, NgramLM):
-            return pack_device_lm(lm, self.labels)
-        raise ValueError(
-            f"LM of type {type(lm).__name__} cannot be packed for the "
-            "device backend (needs an enumerable NgramLM, e.g. from an "
-            ".arpa file); use backend='host' for KenLM .klm binaries."
-        )
+        return coerce_device_lm(self.lm, self.labels)
 
     # ------------------------------------------------------------------
     # Jitted device programs
@@ -561,7 +547,9 @@ class DanSpeechRecognizer:
         # execution of later groups
         results: list = [None] * len(recordings)
         if greedy_fast:
-            blank = self.labels.index("_")
+            # the decoder's own blank index, not labels.index('_') — they
+            # agree today, but a custom blank must not silently diverge
+            blank = self.decoder.blank_index
             from .decode.greedy import collapse_batch
 
             for idxs, paths, out_lens in pending:

@@ -109,7 +109,7 @@ def test_cutoff_top_n_matches_oracle():
     scorer = _LMScorer(lm, labels, 1.0, 0.3, space)
     oracle = prefix_beam_search(
         biased[0], beam_width=12, blank=0, cutoff_top_n=k,
-        scorer=scorer, space_index=space,
+        scorer=scorer,
     )
     oracle_best = "".join(labels[ch] for ch in oracle[0][0])
     dec_lm = DeviceBeamDecoder(

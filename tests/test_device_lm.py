@@ -154,7 +154,7 @@ def test_device_beam_lm_matches_host_oracle(seed):
 
     scorer = _LMScorer(lm, LABELS, alpha, beta, SPACE)
     host = prefix_beam_search(
-        probs, beam_width=16, blank=0, scorer=scorer, space_index=SPACE
+        probs, beam_width=16, blank=0, scorer=scorer
     )
     host_best = "".join(LABELS[c] for c in host[0][0])
 

@@ -178,3 +178,31 @@ def test_native_klm_matches_arpa_and_python(arpa_path, klm_path):
     assert s_klm[0] == s_arpa[0]
     assert s_klm[0] == s_py[0]
     assert [list(o) for o in o_klm[0]] == [list(o) for o in o_py[0]]
+
+
+def test_hash_vocab_scores_without_strings(klm_path):
+    """Probing binaries without embedded vocab strings resolve words via
+    the murmur hash table; score_word's vocab[w] must probe it too
+    (code-review r4: __getitem__ fell through to the empty dict ->
+    KeyError on every in-vocab context word)."""
+    from danspeech_tpu.decode.kenlm_reader import _HashVocab
+
+    model = load_kenlm_probing(klm_path)
+    hv = _HashVocab(*model._vocab_hash)
+    for w in ["hej", "med", "dig"]:
+        assert w in hv
+        assert hv[w] == model.vocab[w]
+        assert hv.get(w) == model.vocab[w]
+    assert "zzz-not-there" not in hv
+    with pytest.raises(KeyError):
+        hv["zzz-not-there"]
+
+    stringless = KenLMProbingModel(
+        model.order, model.counts, hv, [], model._unigram,
+        model._middles, model._longest, vocab_hash=model._vocab_hash,
+    )
+    for ctx, w in ([], "hej"), (["hej"], "med"), (["hej", "med"], "dig"):
+        assert math.isclose(
+            stringless.score_word(ctx, w), model.score_word(ctx, w),
+            abs_tol=1e-6,
+        ), (ctx, w)

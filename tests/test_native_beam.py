@@ -100,3 +100,30 @@ def test_beam_decoder_uses_native_and_threads(tmp_path):
     py = prefix_beam_search(probs[1, :35], beam_width=8, blank=0)
     expected = "".join(LABELS[c] for c in py[0][0])
     assert strings[1][0] == expected
+
+
+def test_beam_decoder_native_with_trie_klm(tmp_path):
+    """A trie .klm keeps the native C++ path: the decoder converts the
+    walkable trie model to an NgramLM for the native packer instead of
+    silently falling back to the pure-Python oracle (code-review r4)."""
+    from danspeech_tpu.decode.kenlm_trie import write_kenlm_trie
+
+    p = tmp_path / "tiny.arpa"
+    p.write_text(ARPA)
+    lm = load_arpa(str(p))
+    tpath = str(tmp_path / "model_trie.klm")
+    write_kenlm_trie(lm, tpath)
+
+    dec = BeamCTCDecoder(
+        LABELS, lm_path=tpath, alpha=0.8, beta=0.2, beam_width=8,
+        blank_index=0,
+    )
+    assert dec._native is not None
+
+    # same transcripts as an ARPA-backed decoder on the same data
+    ref = BeamCTCDecoder(
+        LABELS, lm_path=lm, alpha=0.8, beta=0.2, beam_width=8, blank_index=0
+    )
+    rng = np.random.default_rng(11)
+    probs = rng.dirichlet(np.ones(len(LABELS)), size=(3, 30)).astype(np.float32)
+    assert dec.decode(probs)[0] == ref.decode(probs)[0]
