@@ -682,6 +682,21 @@ class DanSpeechRecognizer:
         """
         spect = self.audio_parser.parse_audio(recording, is_last)
         out = ""
+        if len(spect) != 0 and is_first and spect.shape[1] < 5:
+            # the conv left-context cache is 10 columns; a first chunk
+            # with < 5 spectrogram frames (< ~0.1 s of audio) cannot fill
+            # it and would silently corrupt every later chunk. The
+            # reference API never produces such chunks — real_time_
+            # streaming's sample-requirement math (Recognizer.py:602-611)
+            # enforces a far larger minimum — so reject loudly.
+            from .errors import WrongUsageOfListen
+
+            raise WrongUsageOfListen(
+                f"first streaming chunk yields {spect.shape[1]} spectrogram "
+                "frames; at least 5 (~0.1 s of audio) are required — use "
+                "Recognizer.real_time_streaming, which sizes chunks "
+                "correctly"
+            )
         if len(spect) != 0:
             if self.secondary_model is not None:
                 self.spectrograms.append(np.asarray(spect))

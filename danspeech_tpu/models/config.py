@@ -54,6 +54,16 @@ class DeepSpeechConfig:
             raise ConvError("Maximum supported convolutional layers is 3")
         if self.rnn_type not in SUPPORTED_RNNS:
             raise ValueError(f"rnn_type must be one of {SUPPORTED_RNNS}")
+        if self.streaming_model and self.bidirectional:
+            # the reference's streaming twin is hard-coded uni-directional
+            # (model.py:211 builds every BatchRNNStream with
+            # bidirectional=False regardless of the package metadata), so a
+            # streaming checkpoint with bidirectional=True metadata would
+            # otherwise split our predicates: checkpoint.py loads lookahead
+            # + drops bwd weights while forward()/init_params gate the
+            # lookahead on `not bidirectional` — normalize here so every
+            # consumer agrees (code-review r4 finding)
+            self.bidirectional = False
         if not self.labels:
             self.labels = default_labels()
         if not self.audio_conf:

@@ -212,6 +212,11 @@ def phys_rnn_frames(tp_spect: int, is_first: bool) -> int:
 def init_stream_state_masked(
     config: DeepSpeechConfig, buf_cap: int, batch: int = 1, dtype=jnp.float32
 ) -> StreamStateM:
+    # the lookahead buffer must hold at least context-1 frames — a tiny
+    # first chunk would otherwise size it below that and the drain slice
+    # jnp.zeros((cap - (context-1), ...)) traces with a negative dim
+    if not config.bidirectional:
+        buf_cap = max(buf_cap, config.context - 1)
     f1 = (config.n_freq + 2 * CONV_SPECS[0]["padding"][0] - CONV_SPECS[0]["kernel"][0]) // 2 + 1
     return StreamStateM(
         left_1=jnp.zeros((batch, 1, config.n_freq, 10), dtype),

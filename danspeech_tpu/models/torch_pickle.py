@@ -164,16 +164,23 @@ def _load_zip(data: bytes) -> Any:
 
 
 def _load_legacy(raw: bytes) -> Any:
+    # EVERY pickle in the stream goes through the restricted unpickler —
+    # the magic/protocol/sys_info/key_order pickles run before or after
+    # the object graph and an unrestricted pickle.load on any of them
+    # would defeat the module's no-code-execution guarantee
     f = io.BytesIO(raw)
-    magic = pickle.load(f)
+    storages: dict[str, _Storage] = {}
+
+    def load_restricted():
+        return _Unpickler(f, storages).load()
+
+    magic = load_restricted()
     if magic != _MAGIC_NUMBER:
         raise ValueError("Not a legacy torch checkpoint (bad magic number)")
-    _protocol = pickle.load(f)
-    _sys_info = pickle.load(f)
-    storages: dict[str, _Storage] = {}
-    up = _Unpickler(f, storages)
-    obj = up.load()
-    key_order = pickle.load(f)
+    _protocol = load_restricted()
+    _sys_info = load_restricted()
+    obj = load_restricted()
+    key_order = load_restricted()
     for key in key_order:
         storage = storages[key]
         (nelems,) = struct.unpack("<q", f.read(8))

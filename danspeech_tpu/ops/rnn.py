@@ -89,14 +89,7 @@ def gru_layer(
     ops/pallas_gru.py), "xla" (lax.scan), or "auto" (pallas on TPU
     backends, xla elsewhere).
     """
-    if impl == "auto":
-        import os
-
-        impl = os.environ.get("DANSPEECH_TPU_GRU_IMPL", "auto")
-    if impl == "auto":
-        from .pallas_gru import backend_supports_mosaic
-
-        impl = "pallas" if backend_supports_mosaic() else "xla"
+    impl = _resolve_impl(impl)
     if impl == "pallas":
         return _gru_layer_pallas(x, lengths, fwd, bwd, h0, sum_directions)
     t_max, batch, _ = x.shape
@@ -192,7 +185,9 @@ def _gru_layer_pallas(
     t_max, batch, d_in = x.shape
     hidden = fwd.w_hh.shape[0]
     mm_dtype = fwd.w_ih.dtype
-    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    from .pallas_gru import backend_supports_mosaic
+
+    interpret = not backend_supports_mosaic()
 
     if h0 is None:
         h0_f = h0_b = jnp.zeros((batch, hidden), jnp.float32)
@@ -272,14 +267,7 @@ def gru_layer_streaming(
     t_max, batch, _ = x.shape
     mm_dtype = weights.w_ih.dtype
 
-    if impl == "auto":
-        import os
-
-        impl = os.environ.get("DANSPEECH_TPU_GRU_IMPL", "auto")
-    if impl == "auto":
-        from .pallas_gru import backend_supports_mosaic
-
-        impl = "pallas" if backend_supports_mosaic() else "xla"
+    impl = _resolve_impl(impl)
 
     if t_valid is None:
         lengths = jnp.full((batch,), t_max, jnp.int32)
@@ -344,6 +332,9 @@ class LSTMWeights(NamedTuple):
 
 
 def _resolve_impl(impl: str) -> str:
+    """"auto" -> DANSPEECH_TPU_GRU_IMPL env override -> pallas on Mosaic
+    backends, xla elsewhere. The ONE dispatch rule for every rnn layer
+    entry point (was duplicated inline; code-review r4)."""
     if impl == "auto":
         import os
 

@@ -170,3 +170,44 @@ def test_torch_pickle_rejects_malicious_global(tmp_path):
 
     with pytest.raises(_p.UnpicklingError):
         torch_load(str(path))
+
+
+def test_legacy_header_pickles_are_restricted(tmp_path):
+    """Every pickle in a legacy-format stream goes through the restricted
+    unpickler — a payload in the magic/protocol/sys_info/key_order
+    pickles (before or after the object graph) must be rejected, not
+    executed (code-review r4: these used plain pickle.load)."""
+    import pickle as _p
+    import io
+
+    class Evil:
+        def __reduce__(self):
+            return (print, ("pwned",))
+
+    # legacy stream whose FIRST pickle is the payload
+    buf = io.BytesIO()
+    _p.dump(Evil(), buf)
+    (tmp_path / "evil_legacy.pth").write_bytes(buf.getvalue())
+
+    from danspeech_tpu.models.torch_pickle import torch_load
+
+    with pytest.raises((_p.UnpicklingError, ValueError)):
+        torch_load(str(tmp_path / "evil_legacy.pth"))
+
+
+def test_streaming_config_normalizes_bidirectional():
+    """The reference's streaming twin is hard-coded uni-directional
+    (model.py:211); a streaming config claiming bidirectional=True must
+    normalize so forward/init_params/checkpoint predicates agree."""
+    from danspeech_tpu.models.config import DeepSpeechConfig
+
+    cfg = DeepSpeechConfig(
+        model_name="s", rnn_hidden_size=32, rnn_layers=1, conv_layers=2,
+        streaming_model=True, bidirectional=True, context=20,
+    )
+    assert cfg.bidirectional is False
+    from danspeech_tpu.models import deepspeech as ds
+
+    params = ds.init_params(cfg, seed=0)
+    assert params["lookahead"] is not None
+    assert params["rnns"][0]["bwd"] is None
