@@ -77,7 +77,11 @@ class InferenceSpectrogramAudioParser(AudioParser):
       tail (plus hop remainder) carries over so frames tile the stream,
     - normalization stats blend fixed NST dataset statistics with running
       input statistics, ramping ``alpha`` by 0.1 per chunk (≈1 s),
-    - a final chunk shorter than ``n_fft`` is dropped (returns []).
+    - a final chunk is dropped (returns []) when buffer+chunk hold less
+      than ``n_fft`` samples. (Deliberate divergence: the reference tests
+      only the raw chunk, parsers.py:112-114, so it can discard a
+      buffered frame's worth of trailing speech; we process any tail
+      that still fills a frame.)
     """
 
     DATASET_MEAN = 5.492418704733003
@@ -95,21 +99,21 @@ class InferenceSpectrogramAudioParser(AudioParser):
     def parse_audio(self, part_of_recording, is_last: bool = False):
         part = np.asarray(part_of_recording, dtype=np.float32)
 
-        if is_last and len(part) < self.n_fft:
-            self.reset()
-            return []
-
         if self.has_buffer:
             part = np.concatenate((self.buffer, part), axis=None)
 
         if len(part) < self.n_fft:
-            # too short for even one frame (ADVICE r3): hold every sample
-            # for the next chunk — without this, n_frames <= 0 poisons the
-            # running mean/std with NaN (0 frames) or makes as_strided
-            # raise (negative frames). is_last cannot reach here: a final
-            # chunk shorter than n_fft already returned above, and with a
-            # buffer the concatenation is only shorter than n_fft when the
-            # raw part was too (buffer >= hop tiles exactly).
+            # too short for even one frame (ADVICE r3): a final chunk ends
+            # the stream like the reference's short-final drop
+            # (parsers.py:112-114 — the reference tests the raw chunk; we
+            # test buffer+chunk so samples accumulated by the guard below
+            # are processed rather than silently discarded); otherwise
+            # hold every sample for the next chunk — without this,
+            # n_frames <= 0 poisons the running mean/std with NaN (0
+            # frames) or makes as_strided raise (negative frames)
+            if is_last:
+                self.reset()
+                return []
             self.buffer = part
             self.has_buffer = True
             return []

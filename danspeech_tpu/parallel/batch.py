@@ -21,6 +21,14 @@ from .mesh import DATA_AXIS
 from .sharding import shard_params
 
 
+def bucket_maxlen(lengths, quantum: int) -> int:
+    """Max sample length padded up to the bucket quantum (shared by the
+    mesh and pipeline transcribers so the padding rule cannot diverge)."""
+    return max(
+        quantum, -(-int(np.max(lengths)) // quantum) * quantum
+    )
+
+
 class ShardedTranscriber:
     """Runs the acoustic model data-parallel across a mesh.
 
@@ -80,14 +88,16 @@ class ShardedTranscriber:
         """Waveform list -> (probs (B, T, C), out_lengths) numpy, truncated
         back to the original batch size."""
         b = len(recordings)
+        if b == 0:
+            return (
+                np.zeros((0, 0, len(self.model.labels)), np.float32),
+                np.zeros((0,), np.int32),
+            )
         b_pad = -(-b // self.n_data) * self.n_data
         lengths = np.zeros(b_pad, dtype=np.int32)
         for i, r in enumerate(recordings):
             lengths[i] = len(r)
-        maxlen = max(
-            self.SAMPLE_BUCKET,
-            -(-int(lengths.max()) // self.SAMPLE_BUCKET) * self.SAMPLE_BUCKET,
-        )
+        maxlen = bucket_maxlen(lengths, self.SAMPLE_BUCKET)
         batch = np.zeros((b_pad, maxlen), dtype=np.float32)
         for i, r in enumerate(recordings):
             batch[i, : len(r)] = r

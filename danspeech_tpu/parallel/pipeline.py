@@ -149,31 +149,45 @@ class PipelinedTranscriber:
         after its stage-(s-1) handoff, so all stages run concurrently on
         different microbatches; nothing blocks until the final fetch.
         """
+        from .batch import bucket_maxlen
+
         b = len(recordings)
+        if b == 0:
+            return (
+                np.zeros((0, 0, len(self.model.labels)), np.float32),
+                np.zeros((0,), np.int32),
+            )
         lengths = np.array([len(r) for r in recordings], dtype=np.int32)
-        maxlen = max(
-            self.SAMPLE_BUCKET,
-            -(-int(lengths.max()) // self.SAMPLE_BUCKET) * self.SAMPLE_BUCKET,
-        )
+        maxlen = bucket_maxlen(lengths, self.SAMPLE_BUCKET)
         mb = self.micro_batch
         outs = []
         for k in range(0, b, mb):
             rows = recordings[k : k + mb]
-            batch = np.zeros((len(rows), maxlen), dtype=np.float32)
+            # pad the final microbatch to mb rows (pad lengths pinned to a
+            # real row) so every stage compiles exactly one program per
+            # shape — a varying remainder would recompile all stages
+            batch = np.zeros((mb, maxlen), dtype=np.float32)
+            ln_np = np.empty((mb,), np.int32)
             for j, r in enumerate(rows):
                 batch[j, : len(r)] = r
-            x = jax.device_put(jnp.asarray(batch), self.devices[0])
-            ln = jax.device_put(
-                jnp.asarray(lengths[k : k + mb]), self.devices[0]
-            )
+                ln_np[j] = len(r)
+            ln_np[len(rows):] = ln_np[0]
+            # straight to the stage-0 device (jnp.asarray would stage the
+            # batch through the default device first)
+            x = jax.device_put(batch, self.devices[0])
+            ln = jax.device_put(ln_np, self.devices[0])
             for s in range(self.n_stages):
                 if s > 0:
                     x = jax.device_put(x, self.devices[s])
                     ln = jax.device_put(ln, self.devices[s])
                 x, ln = self._stage_fns[s](self._stage_params[s], x, ln)
-            outs.append((x, ln))
-        probs = np.concatenate([np.asarray(p) for p, _ in outs], axis=0)
-        out_lens = np.concatenate([np.asarray(l) for _, l in outs], axis=0)
+            outs.append((x, ln, len(rows)))
+        probs = np.concatenate(
+            [np.asarray(p)[:n] for p, _, n in outs], axis=0
+        )
+        out_lens = np.concatenate(
+            [np.asarray(l)[:n] for _, l, n in outs], axis=0
+        )
         return probs, out_lens
 
     def transcribe(self, recordings: list[np.ndarray], decoder) -> list[str]:

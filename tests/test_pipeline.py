@@ -92,3 +92,16 @@ def test_pipeline_unidirectional_lookahead(waves):
     pp = PipelinedTranscriber(m, n_stages=3, micro_batch=2)
     decoder = GreedyDecoder(labels=m.labels, blank_index=m.labels.index("_"))
     assert pp.transcribe(waves[:4], decoder) == singles
+
+
+def test_pipeline_remainder_microbatch_padded(model, waves):
+    """The final microbatch pads to micro_batch rows (one compiled
+    program per stage per shape) and pad rows are sliced off."""
+    pp = PipelinedTranscriber(model, n_stages=2, micro_batch=4)
+    probs, lens = pp.acoustic_probs(waves[:5])  # 4 + 1-row remainder
+    assert probs.shape[0] == 5 and lens.shape[0] == 5
+    probs7, lens7 = pp.acoustic_probs(waves)  # 4 + 3 remainder
+    np.testing.assert_allclose(probs7[:5], probs, rtol=0, atol=1e-5)
+
+    empty_p, empty_l = pp.acoustic_probs([])
+    assert empty_p.shape[0] == 0 and empty_l.shape[0] == 0

@@ -207,3 +207,22 @@ def test_batched_log_spectrogram_matches_single(waveform):
         np.testing.assert_allclose(
             np.asarray(spects)[i, :, :t], single, atol=2e-3
         )
+
+
+def test_streaming_parser_buffered_tail_processed_on_last(waveform):
+    """A final chunk whose buffer+chunk still fill a frame must emit it
+    (code-review r4: the raw-chunk-only is_last test silently discarded
+    guard-accumulated samples)."""
+    parser = InferenceSpectrogramAudioParser(get_default_audio_config())
+    y = waveform[:450]
+    assert np.asarray(parser.parse_audio(y[:150], is_last=False)).size == 0
+    assert np.asarray(parser.parse_audio(y[150:300], is_last=False)).size == 0
+    out = np.asarray(parser.parse_audio(y[300:450], is_last=True))
+    assert out.shape[0] == 161 and out.shape[1] >= 1  # the tail frame
+    # (the parser does not self-reset after a normal final chunk — the
+    # engine's reset_streaming_params owns that, like the reference)
+
+
+def test_streaming_parser_short_fresh_last_still_drops():
+    parser = InferenceSpectrogramAudioParser(get_default_audio_config())
+    assert parser.parse_audio(np.zeros(100), is_last=True) == []
