@@ -2,6 +2,7 @@
 match the direct lax convolution exactly."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from danspeech_tpu.ops.conv import conv2d, conv2d_banded_cin1
@@ -27,3 +28,21 @@ def test_banded_other_shapes():
     ref = conv2d(x, w, None, (2, 1), (5, 3))
     got = conv2d_banded_cin1(x, w, None, (2, 1), (5, 3))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("f,t", [(161, 801), (161, 800), (160, 333), (81, 100)])
+def test_s2d_conv_matches_direct(f, t):
+    """Space-to-depth C_in=1 stride-(2,2) conv == direct conv for odd and
+    even input sizes (the production conv_block dispatch for conv1)."""
+    import jax.numpy as jnp
+
+    from danspeech_tpu.ops.conv import conv2d, conv2d_s2d_cin1
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 1, f, t)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(32, 1, 41, 11)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+    direct = np.asarray(conv2d(x, w, b, (2, 2), (20, 5)))
+    s2d = np.asarray(conv2d_s2d_cin1(x, w, b, (2, 2), (20, 5)))
+    assert s2d.shape == direct.shape
+    np.testing.assert_allclose(s2d, direct, rtol=0, atol=2e-4)
