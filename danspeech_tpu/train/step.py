@@ -26,10 +26,26 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizer(learning_rate: float = 3e-4, weight_decay: float = 0.0):
+def make_optimizer(
+    learning_rate: float = 3e-4,
+    weight_decay: float = 0.0,
+    anneal: float | None = None,
+    steps_per_epoch: int | None = None,
+):
+    """Adam/AdamW, optionally with the DeepSpeech2-style per-epoch LR
+    anneal (lr /= anneal after each epoch — the schedule the reference's
+    external training repo uses; pass e.g. anneal=1.1 with the dataset's
+    steps_per_epoch)."""
+    lr = learning_rate
+    if anneal is not None:
+        if not steps_per_epoch:
+            raise ValueError("anneal needs steps_per_epoch")
+        lr = optax.exponential_decay(
+            learning_rate, steps_per_epoch, 1.0 / anneal, staircase=True
+        )
     if weight_decay:
-        return optax.adamw(learning_rate, weight_decay=weight_decay)
-    return optax.adam(learning_rate)
+        return optax.adamw(lr, weight_decay=weight_decay)
+    return optax.adam(lr)
 
 
 def init_train_state(config: DeepSpeechConfig, optimizer, seed: int = 0) -> TrainState:

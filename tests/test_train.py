@@ -124,3 +124,23 @@ def test_freeze_mask_blocks_updates():
 
     with pytest.raises(FreezingMoreLayersThanExist):
         freeze_mask(state.params, 10, config)
+
+
+def test_optimizer_anneal_schedule():
+    """anneal=1.1 with steps_per_epoch halves... rather divides the LR by
+    1.1 after each epoch boundary (staircase), like the reference
+    training repo's per-epoch anneal."""
+    import optax
+
+    from danspeech_tpu.train.step import make_optimizer
+
+    opt = make_optimizer(learning_rate=1e-3, anneal=1.1, steps_per_epoch=10)
+    assert isinstance(opt, optax.GradientTransformation)
+    sched = optax.exponential_decay(1e-3, 10, 1 / 1.1, staircase=True)
+    assert np.isclose(sched(0), 1e-3)
+    assert np.isclose(sched(9), 1e-3)
+    assert np.isclose(sched(10), 1e-3 / 1.1)
+    assert np.isclose(sched(25), 1e-3 / 1.1**2)
+
+    with pytest.raises(ValueError, match="steps_per_epoch"):
+        make_optimizer(anneal=1.1)
