@@ -23,13 +23,13 @@ independent of our code:
 Consequence for serving throughput: a transcription service must both
 upload waveforms and fetch transcripts, so steady state runs in the
 post-fetch mode. At 16 kHz/int16, one audio-second is 32 KB, so the
-tunnel ceiling is roughly
-
-    45 MB/s  /  32 KB per audio-s  ~=  1400 audio-s/s
-
-`BENCH_r04` measures 1382 audio-s/s through the public
-`transcribe_batch` — ~98 % of that ceiling — while the identical
-workload with inputs pre-staged on device runs ~6800 audio-s/s. The gap
+observed 15-50 MB/s band maps to roughly 600-1,600 audio-s/s of tunnel
+ceiling — the band drifts run to run, so compare any public-path figure
+against the `post_fetch_put_MBps` recorded in THIS file's committed JSON
+(tunnel_characterization.json) and the public/device split in the
+matching BENCH_r*.json, not against numbers pinned in prose. The public
+`transcribe_batch` measures at that ceiling while the identical workload
+with inputs pre-staged on device runs ~5x higher. The gap
 is the relay, not host software: staging buffers are pinned and reused,
 transfers are int16 (half of float32), path ids come back as uint8, and
 the per-group collapse is one vectorized pass (engine.py:_transcribe_

@@ -341,7 +341,16 @@ def load_audio_pcm16(path) -> np.ndarray:
     """
     import scipy.io.wavfile as wavfile
 
-    _, sound = wavfile.read(path)
+    rate, sound = wavfile.read(path)
+    # a 44.1 kHz file silently treated as 16 kHz transcribes garbage —
+    # this loader already validates dtype, so validate rate too (the
+    # parity loader load_audio_wavPCM keeps the reference's rate-blind
+    # behavior, resources.py:64-82)
+    if rate != 16000:
+        raise ValueError(
+            f"{path}: sample rate {rate} != 16000; resample first "
+            "(danspeech models are 16 kHz)"
+        )
     # dtype check BEFORE the downmix cast: a float/int32 stereo file must
     # raise, not get silently quantized to garbage by the int16 cast
     if sound.dtype != np.int16:

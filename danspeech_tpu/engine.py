@@ -332,8 +332,14 @@ class DanSpeechRecognizer:
             @jax.jit
             def run(params, waveforms, lengths):
                 probs, out_lens = forward(params, waveforms, lengths)
-                # 33 classes fit uint8: fetch 4x fewer bytes per path row
-                return jnp.argmax(probs, axis=-1).astype(jnp.uint8), out_lens
+                ids = jnp.argmax(probs, axis=-1)
+                # 33 classes fit uint8: fetch 4x fewer bytes per path row.
+                # Shape is static under jit, so the >256-label guard is a
+                # trace-time branch — a big-vocab model keeps int32 ids
+                # instead of silently wrapping.
+                if probs.shape[-1] <= 256:
+                    ids = ids.astype(jnp.uint8)
+                return ids, out_lens
 
             self._greedy_fn = run
         return self._greedy_fn

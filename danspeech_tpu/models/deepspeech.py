@@ -208,16 +208,22 @@ def conv_stack(
     return x
 
 
-def _apply_rnn_layer(config, entry, x, lengths):
+def _apply_rnn_layer(config, entry, x, lengths, impl: str = "auto"):
     if entry["bn"] is not None:
         scale, shift = entry["bn"].scale_shift()
         x = x * scale + shift
     if config.rnn_type == "gru":
-        out, _ = rnn_ops.gru_layer(x, lengths, entry["fwd"], entry["bwd"])
+        out, _ = rnn_ops.gru_layer(
+            x, lengths, entry["fwd"], entry["bwd"], impl=impl
+        )
         return out
     if config.rnn_type == "lstm":
-        return rnn_ops.lstm_layer(x, lengths, entry["fwd"], entry["bwd"])
-    return rnn_ops.rnn_tanh_layer(x, lengths, entry["fwd"], entry["bwd"])
+        return rnn_ops.lstm_layer(
+            x, lengths, entry["fwd"], entry["bwd"], impl=impl
+        )
+    return rnn_ops.rnn_tanh_layer(
+        x, lengths, entry["fwd"], entry["bwd"], impl=impl
+    )
 
 
 def head(params: Params, x: jnp.ndarray) -> jnp.ndarray:
@@ -236,11 +242,15 @@ def forward(
     x: jnp.ndarray,
     input_lengths: jnp.ndarray,
     softmax: bool = True,
+    rnn_impl: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full batch forward: (N, 1, F, T) spectrograms -> (N, T', C) probs.
 
     Mirrors DeepSpeech.forward (model.py:496-515); ``softmax=False`` returns
     logits for training (InferenceBatchSoftmax is identity in train mode).
+    ``rnn_impl``: recurrence engine per ops/rnn.py:_resolve_impl — training
+    passes "xla" (the lax.scan path is differentiable; the Mosaic forward
+    kernel has no VJP).
     """
     out_lengths = get_seq_lens(config, input_lengths)
     x = conv_stack(params, config, x, out_lengths)
@@ -250,7 +260,7 @@ def forward(
     x = jnp.transpose(x, (2, 0, 1))  # TxNxH
 
     for entry in params["rnns"]:
-        x = _apply_rnn_layer(config, entry, x, out_lengths)
+        x = _apply_rnn_layer(config, entry, x, out_lengths, impl=rnn_impl)
 
     if not config.bidirectional:
         x = conv_ops.hardtanh(conv_ops.lookahead(x, params["lookahead"]))

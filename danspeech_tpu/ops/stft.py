@@ -190,6 +190,11 @@ def batched_log_spectrogram(
             count - 1.0, 1.0
         )
         std = jnp.sqrt(var)
+        # degenerate all-constant rows (e.g. a zero-weight padding row from
+        # the training batcher, train/data.py) have std == 0; dividing by 1
+        # instead keeps the whole batch NaN-free without touching real-audio
+        # numerics (real rows never have exactly-zero std)
+        std = jnp.where(std == 0.0, 1.0, std)
         spect = (spect - mean[:, None, None]) / std[:, None, None]
         spect = spect * mask3  # keep padding at exactly zero
     return spect, frame_lengths

@@ -41,7 +41,11 @@ def spec_augment(
         for k in range(n_freq_masks):
             wk, pk = jax.random.split(fw_keys[k])
             width = jax.random.randint(wk, (), 0, freq_mask_width + 1)
-            start = jax.random.randint(pk, (), 0, jnp.maximum(f - width, 1))
+            # exclusive high bound must include the last valid placement
+            # start == f - width (uniform over [0, f - width], per paper)
+            start = jax.random.randint(
+                pk, (), 0, jnp.maximum(f - width, 0) + 1
+            )
             idx = jnp.arange(f)
             band = (idx >= start) & (idx < start + width)
             row = jnp.where(band[:, None], mask_value, row)
@@ -55,7 +59,7 @@ def spec_augment(
             wk, pk = jax.random.split(tw_keys[k])
             width = jax.random.randint(wk, (), 0, jnp.maximum(max_w, 0) + 1)
             start = jax.random.randint(
-                pk, (), 0, jnp.maximum(length - width, 1)
+                pk, (), 0, jnp.maximum(length - width, 0) + 1
             )
             idx = jnp.arange(t)
             span = (idx >= start) & (idx < start + width) & (idx < length)

@@ -64,7 +64,10 @@ def loss_fn(
     label_lengths: jnp.ndarray,
 ):
     logits, out_lengths = ds.forward(
-        params, config, spect, frame_lengths, softmax=False
+        # rnn_impl="xla": the differentiable lax.scan recurrence — the
+        # Mosaic forward kernel has no VJP, so grads on a TPU backend
+        # would fail under the "auto" dispatch
+        params, config, spect, frame_lengths, softmax=False, rnn_impl="xla"
     )
     return mean_ctc_loss(
         logits, out_lengths, labels, label_lengths, blank_id=config.blank_index
@@ -83,6 +86,75 @@ def make_train_step(config: DeepSpeechConfig, optimizer, frozen_mask=None):
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, config, spect, frame_lengths, labels, label_lengths
         )
+        if frozen_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: jnp.zeros_like(g) if m else g, grads, frozen_mask
+            )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def make_wave_train_step(
+    config: DeepSpeechConfig,
+    optimizer,
+    frozen_mask=None,
+    augment: dict | bool | None = None,
+):
+    """Train step from PADDED WAVEFORMS — the data-pipeline entry point.
+
+    One jitted program: device STFT (ops/stft.py batched matmul-DFT) ->
+    optional SpecAugment (train/augment.py) -> forward -> row-weighted CTC
+    mean -> optimizer update. Row weights (train/data.py Batch.row_weights)
+    zero out the padding rows a partial trailing batch carries, so every
+    batch shape is full and shardable over the 'data' axis.
+
+    ``augment``: None/False disables; True uses SpecAugment defaults; a
+    dict passes through as spec_augment kwargs. The PRNG key argument is
+    consumed only when augmentation is on (trace-time branch).
+    """
+    from ..features.spectrogram import AudioParser
+    from ..ops import stft as stft_ops
+    from .augment import spec_augment
+    from .ctc import ctc_loss
+
+    parser = AudioParser(config.audio_conf)
+    aug_kwargs = augment if isinstance(augment, dict) else {}
+
+    def train_step(
+        state: TrainState,
+        waves,
+        wave_lengths,
+        labels,
+        label_lengths,
+        row_weights,
+        rng=None,
+    ):
+        def loss_of(params):
+            spect, frame_lens = stft_ops.batched_log_spectrogram(
+                waves.astype(jnp.float32),
+                wave_lengths,
+                parser.n_fft,
+                parser.hop_length,
+                parser.window,
+            )
+            if augment:
+                spect = spec_augment(rng, spect, frame_lens, **aug_kwargs)
+            logits, out_lens = ds.forward(
+                params, config, spect[:, None, :, :], frame_lens,
+                softmax=False, rnn_impl="xla",
+            )
+            nll = ctc_loss(
+                logits, out_lens, labels, label_lengths,
+                blank_id=config.blank_index,
+            )
+            per = nll / jnp.maximum(label_lengths, 1)
+            w = row_weights.astype(per.dtype)
+            return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-6)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
         if frozen_mask is not None:
             grads = jax.tree_util.tree_map(
                 lambda g, m: jnp.zeros_like(g) if m else g, grads, frozen_mask

@@ -21,8 +21,6 @@ def stream_model():
     """Uni+lookahead streaming model, fc sharpened so greedy partials are
     non-empty (the engine's final-chunk rescore only fires when the
     iterating transcript has content — reference :185)."""
-    import jax.numpy as jnp
-
     cfg = DeepSpeechConfig(
         model_name="stream",
         rnn_hidden_size=64,

@@ -1,0 +1,278 @@
+"""Training data pipeline: manifest, bucketing, sharding, CLI, and the
+end-to-end overfit proof (N train steps on real fixture audio drive greedy
+WER on the training clips to 0)."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.io.wavfile as wavfile
+
+import jax
+import jax.numpy as jnp
+
+from danspeech_tpu.models.config import DeepSpeechConfig
+from danspeech_tpu.train import (
+    GreedyEvaluator,
+    SpeechDataset,
+    batches,
+    encode_transcript,
+    load_manifest,
+    make_optimizer,
+    make_wave_train_step,
+    shard_batch,
+    steps_per_epoch,
+    train,
+)
+
+FIXTURES = sorted(
+    os.path.join("/root/reference/example_files", f)
+    for f in os.listdir("/root/reference/example_files")
+    if f.endswith(".wav")
+)
+
+# target transcripts for the overfit clips — arbitrary supervision (the
+# model is randomly initialized; the test proves the PIPELINE can fit a
+# mapping, not Danish ASR accuracy)
+OVERFIT = [
+    ("u0042018.wav", "hej med dig"),
+    ("u0042017.wav", "god dag"),
+    ("u0013002.wav", "tak for mad"),
+]
+
+
+def _write_manifest(tmp_path, entries, name="train.csv", header=False):
+    man = tmp_path / name
+    lines = ["file,trans"] if header else []
+    lines += [f"{p},{t}" for p, t in entries]
+    man.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    return str(man)
+
+
+@pytest.fixture(scope="module")
+def overfit_dir(tmp_path_factory):
+    """Trimmed (2 s) copies of three fixtures + a manifest — short rows
+    keep the CPU overfit loop fast."""
+    d = tmp_path_factory.mktemp("overfit")
+    entries = []
+    for fname, text in OVERFIT:
+        rate, data = wavfile.read(
+            os.path.join("/root/reference/example_files", fname)
+        )
+        out = d / fname
+        wavfile.write(str(out), rate, data[: 2 * rate])
+        entries.append((fname, text))  # relative paths resolve vs manifest
+    man = _write_manifest(d, entries)
+    return str(d), man
+
+
+def test_encode_transcript_roundtrip():
+    labels = DeepSpeechConfig().labels
+    ids = encode_transcript("Hej, Verden! æøå", labels)
+    # lowercased, unknown chars (comma, bang) dropped, spaces kept
+    assert "".join(labels[i] for i in ids) == "hej verden æøå"
+    assert ids.dtype == np.int32
+    assert 0 not in ids  # blank never encodes
+
+
+def test_load_manifest_parsing(tmp_path):
+    wav = str(tmp_path / "a.wav")
+    wavfile.write(wav, 16000, np.zeros(16000, np.int16))
+    man = tmp_path / "m.csv"
+    man.write_text(
+        "file,trans\n"
+        "# a comment\n"
+        f"{wav},hej med dig\n"
+        "a.wav,ja, det er rigtigt\n"
+        "\n",
+        encoding="utf-8",
+    )
+    items = load_manifest(str(man))
+    assert len(items) == 2
+    assert items[0] == (wav, "hej med dig")
+    # relative path resolved against the manifest dir; transcript keeps
+    # its comma (split on FIRST comma only)
+    assert items[1] == (wav, "ja, det er rigtigt")
+
+
+def test_batches_bucketing_and_padding(tmp_path):
+    labels = DeepSpeechConfig().labels
+    rng = np.random.default_rng(0)
+    entries = []
+    for i, n in enumerate([5000, 21000, 9000, 30000, 14000]):
+        p = str(tmp_path / f"u{i}.wav")
+        wavfile.write(
+            p, 16000, (rng.normal(size=n) * 1000).astype(np.int16)
+        )
+        entries.append((p, "ord " * (i + 1)))
+    man = _write_manifest(tmp_path, entries)
+    ds = SpeechDataset.from_manifest(man, labels)
+    assert steps_per_epoch(len(ds), 2) == 3
+
+    got = list(batches(ds, 2, epoch=0, sample_bucket=8000, label_bucket=8))
+    assert len(got) == 3
+    # membership is duration-sorted: batch 0 = the two shortest rows
+    assert list(got[0].wave_lengths[:2]) == [5000, 9000]
+    # sample axis pads to the bucket quantum
+    assert got[0].waves.shape[1] == 16000
+    assert got[1].waves.shape[1] == 24000
+    # label axis quantized
+    assert got[0].labels.shape[1] % 8 == 0
+    # trailing batch: one real row + one zero-weight padding row
+    assert list(got[2].row_weights) == [1.0, 0.0]
+    assert got[2].wave_lengths[1] > 0  # padding rows stay STFT-safe
+
+    # epoch > 0: same membership set, shuffled order, stable shapes
+    again = list(batches(ds, 2, epoch=3, sample_bucket=8000))
+    assert sorted(b.waves.shape for b in again) == sorted(
+        b.waves.shape for b in got
+    )
+
+    # drop_last drops the short tail
+    assert len(list(batches(ds, 2, drop_last=True))) == 2
+
+
+def test_wave_train_step_runs_and_shards(tmp_path):
+    """The wave-level step reduces loss, and sharding rows over the 'data'
+    axis of the 8-device CPU mesh computes the identical loss."""
+    from danspeech_tpu.parallel.mesh import make_mesh
+
+    labels = DeepSpeechConfig().labels
+    rng = np.random.default_rng(1)
+    entries = []
+    for i in range(3):
+        p = str(tmp_path / f"w{i}.wav")
+        wavfile.write(
+            p, 16000, (rng.normal(size=8000 + 4000 * i) * 2000).astype(np.int16)
+        )
+        entries.append((p, ["hej der", "god dag", "tak tak"][i]))
+    man = _write_manifest(tmp_path, entries)
+    config = DeepSpeechConfig(
+        model_name="wave-step", rnn_hidden_size=32, rnn_layers=1, conv_layers=1
+    )
+    ds = SpeechDataset.from_manifest(man, config.labels)
+    assert labels == config.labels
+
+    opt = make_optimizer(1e-3)
+    from danspeech_tpu.train import init_train_state
+
+    state = init_train_state(config, opt, seed=0)
+    step = jax.jit(make_wave_train_step(config, opt))
+    (batch,) = batches(ds, 8, sample_bucket=8000)  # 3 real + 5 pad rows
+
+    args = tuple(jnp.asarray(x) for x in batch)
+    losses = []
+    s = state
+    for _ in range(4):
+        s, loss = step(s, *args)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+    # sharded rows -> same loss as unsharded (weights zero the pad rows,
+    # so the 8-row batch splits evenly over 8 devices)
+    mesh = make_mesh()
+    sharded = shard_batch(batch, mesh)
+    _, loss_sharded = step(state, *(x for x in sharded))
+    _, loss_local = step(state, *args)
+    np.testing.assert_allclose(
+        float(loss_sharded), float(loss_local), rtol=1e-5
+    )
+
+
+def test_overfit_fixtures_to_zero_wer(overfit_dir):
+    """End-to-end: train a small random model on 3 real fixture clips from
+    a manifest until it transcribes them exactly (loss -> ~0, WER -> 0).
+    This is the proof the training stack has a working fuel line."""
+    _, man = overfit_dir
+    config = DeepSpeechConfig(
+        model_name="overfit", rnn_hidden_size=96, rnn_layers=2, conv_layers=1
+    )
+    evaluator = GreedyEvaluator(config)
+    dataset = SpeechDataset.from_manifest(man, config.labels)
+    targets = [" ".join(t.lower().split()) for _, t in OVERFIT]
+
+    probe = {"wer": None, "transcripts": None, "losses": []}
+
+    def stop(epoch, state, train_loss, _val):
+        probe["losses"].append(train_loss)
+        if epoch < 50 or epoch % 25 != 0:
+            return False
+        wer, texts = evaluator(state.params, dataset, batch_size=4)
+        probe["wer"], probe["transcripts"] = wer, texts
+        return wer == 0.0
+
+    # recipe measured on the CPU suite backend: converges to WER 0 at
+    # ~epoch 350 / ~50 s; 800 is headroom, early-stop exits at 0
+    state = train(
+        config,
+        man,
+        epochs=800,
+        batch_size=4,
+        learning_rate=3e-3,
+        anneal=None,
+        augment=False,
+        seed=0,
+        log=lambda *a, **k: None,
+        stop_fn=stop,
+    )
+    if probe["wer"] != 0.0:  # final check if the last probe missed it
+        probe["wer"], probe["transcripts"] = evaluator(
+            state.params, dataset, batch_size=4
+        )
+    assert probe["wer"] == 0.0, (
+        f"failed to overfit: WER {probe['wer']}%, "
+        f"got {probe['transcripts']} want {targets}, "
+        f"loss tail {probe['losses'][-5:]}"
+    )
+    assert probe["transcripts"] == targets
+    assert probe["losses"][-1] < probe["losses"][0] / 10
+
+
+def test_cli_trains_and_exports(overfit_dir, tmp_path):
+    """`python -m danspeech_tpu.train` surface: 2 epochs on the manifest,
+    checkpoint + .dsz export land, export reloads as an inference model."""
+    from danspeech_tpu.train.__main__ import main
+
+    _, man = overfit_dir
+    ckpt = tmp_path / "ckpts"
+    out = tmp_path / "model.dsz"
+    main([
+        "--manifest", man, "--val-manifest", man,
+        "--epochs", "2", "--batch-size", "4", "--lr", "1e-3",
+        "--hidden", "32", "--rnn-layers", "1", "--conv-layers", "1",
+        "--checkpoint-dir", str(ckpt), "--export", str(out),
+        "--no-augment",
+    ])
+    from danspeech_tpu.train.checkpoint import latest_step
+
+    assert latest_step(str(ckpt)) == 2  # 1 step/epoch x 2 epochs
+    from danspeech_tpu.models import DeepSpeechModel
+
+    model = DeepSpeechModel.load_model(str(out))
+    assert model.config.rnn_hidden_size == 32
+
+
+def test_continue_training_resumes(overfit_dir, tmp_path):
+    from danspeech_tpu.train import continue_training
+
+    _, man = overfit_dir
+    config = DeepSpeechConfig(
+        model_name="resume", rnn_hidden_size=32, rnn_layers=1, conv_layers=1
+    )
+    ckpt = str(tmp_path / "ck")
+    train(
+        config, man, epochs=2, batch_size=4, anneal=None, augment=False,
+        checkpoint_dir=ckpt, log=lambda *a: None,
+    )
+    seen = []
+    continue_training(
+        config, man, ckpt, epochs=4, batch_size=4, anneal=None,
+        augment=False, log=seen.append,
+    )
+    assert any("resumed step 2" in s for s in seen)
+    # epochs 2 and 3 ran (0/1 were already done)
+    assert sum("epoch 2:" in s or "epoch 3:" in s for s in seen) == 2
+    from danspeech_tpu.train.checkpoint import latest_step
+
+    assert latest_step(ckpt) == 4
