@@ -51,12 +51,16 @@ def load_waveforms():
 BATCH_ROWS = int(os.environ.get("BENCH_BATCH_ROWS", "128"))
 
 
-def bench_tpu(waves, iters: int = 10):
+def bench_tpu(waves, iters: int = 10, transfer_format: str = "auto"):
     """Throughput of the PUBLIC engine path: DanSpeechRecognizer.
     transcribe_batch runs the bucketed async scheduler (length buckets,
     128-row dispatch groups, device argmax, host decode overlapped with
     the next group's device execution) — the same code a serving
-    deployment calls, engine.py:_transcribe_pipelined."""
+    deployment calls, engine.py:_transcribe_pipelined.
+
+    ``transfer_format="ulaw"`` measures the G.711 mu-law staging mode
+    (uint8 rows, half the int16 tunnel bytes); benchmarks/bench_ulaw.py
+    commits that figure next to its WER cost."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
@@ -79,7 +83,10 @@ def bench_tpu(waves, iters: int = 10):
         ckpt = os.path.join(td, "flagship.dsz")
         save_checkpoint(ckpt, config, ds.init_params(config, seed=0))
         config, params = load_checkpoint(ckpt)
-    eng = DanSpeechRecognizer(model_name=DeepSpeechModel(config, params))
+    eng = DanSpeechRecognizer(
+        model_name=DeepSpeechModel(config, params),
+        transfer_format=transfer_format,
+    )
 
     # Serving workload: cycle each 1 s length bucket's clips to BATCH_ROWS
     # rows so every dispatch group the engine forms is a full 128-row MXU

@@ -106,15 +106,20 @@ def main():
         print(json.dumps(rec), flush=True)
 
     if not args.skip_host:
+        # num_processes=6 = the engine default (engine.py BeamCTCDecoder
+        # construction), which mirrors the reference's 6
+        # (DanSpeechRecognizer.py:91). This box has os.cpu_count() cores —
+        # recorded in the artifact so a 6-thread figure on a 2-core host
+        # reads as what it is.
         host = BeamCTCDecoder(
             LABELS, lm_path=lm, alpha=1.3, beta=0.2, beam_width=64,
-            num_processes=os.cpu_count() or 6,
+            num_processes=6,
         )
         host.decode(probs[:8], sizes[:8])  # warm
         t0 = time.perf_counter()
         host.decode(probs, sizes)
         report(
-            f"host C++ (native/ctcbeam, {os.cpu_count() or 6} threads)",
+            f"host C++ (native/ctcbeam, 6 threads on {os.cpu_count()} cores)",
             time.perf_counter() - t0,
         )
 
@@ -152,8 +157,13 @@ def main():
             f"T={args.frames} frames ({args.frames * FRAME_S:.0f} s audio/row), "
             f"C={num_classes}, beam 64, 3-gram LM, B={args.rows} rows, "
             "blank-dominated synthetic posteriors, TPU v5e 1 chip "
-            "(r3, sort-free parent-pointer merge + fused stacked LM probes)"
+            "(r5, host beam at the engine's num_processes=6)"
         ),
+        "rows": args.rows,
+        "frames": args.frames,
+        "iters": args.iters,
+        "host_threads": 6,
+        "host_cores": os.cpu_count(),
         "results": results,
         "notes": (
             "cutoff_top_n<C is the reference decoder's per-frame class cut "

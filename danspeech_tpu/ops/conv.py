@@ -207,6 +207,68 @@ def conv2d_s2d_cin1(
     return out
 
 
+def conv2d_s2d_freq(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    stride: tuple[int, int],
+    padding: tuple[int, int],
+) -> jnp.ndarray:
+    """Stride-(2,1) Conv2d via space-to-depth on the FREQUENCY axis only:
+    the two freq phases become channel blocks (C_in doubles) and the conv
+    runs stride-1 on the half-resolution freq grid with per-phase kernel
+    taps — the conv2/conv3 counterpart of :func:`conv2d_s2d_cin1` (DS2
+    layers 2-3 are (21,11) kernels at stride (2,1), reference
+    model.py:357-396). Measured on v5e at the serving shape it LOSES to
+    the direct strided conv (conv2 13.0 vs 25.4 ms, conv3 11.7 vs
+    21.4 ms, benchmarks/conv_layout_probe.json) — XLA's implicit-im2col
+    conv emitter already tiles the 32x21x11 contraction well, and the
+    phase split doubles the channel dim at the cost of an extra relayout.
+    conv_block therefore keeps :func:`conv2d` for stride (2,1); this
+    variant stays as the probe-tested alternative. Numerically identical
+    to :func:`conv2d` modulo summation order (tests/test_conv_banded.py).
+    """
+    b, cin, f, t = x.shape
+    assert stride == (2, 1)
+    o, _, kf, kt = weight.shape
+    pf, pt = padding
+    # +1 on the high freq side so both phase slices have equal length
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pf, pf + 1), (pt, pt)))
+    ph0 = xp[:, :, 0::2, :]
+    ph1 = xp[:, :, 1::2, :]
+    fmin = min(ph0.shape[2], ph1.shape[2])
+    xs = jnp.concatenate([ph0[:, :, :fmin], ph1[:, :, :fmin]], axis=1)
+    kf2 = (kf + 1) // 2
+    # tap fi of input channel c lands in channel (fi%2)*C + c at freq
+    # tap fi//2:  out[f'] = sum w[c,fi] x[c, 2f'+fi]
+    #           = sum wp[p*C+c, k] xs[p*C+c, f'+k],  p=fi%2, k=fi//2
+    wp = jnp.zeros((o, 2 * cin, kf2, kt), weight.dtype)
+    ii = jnp.arange(kf)
+    wp = wp.at[
+        :,
+        (ii % 2)[:, None] * cin + jnp.arange(cin)[None, :],
+        (ii // 2)[:, None],
+        :,
+    ].set(jnp.transpose(weight, (0, 2, 1, 3)))
+    out = jax.lax.conv_general_dilated(
+        xs.astype(weight.dtype),
+        wp,
+        window_strides=(1, 1),
+        padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )
+    f_out = (f + 2 * pf - kf) // 2 + 1
+    t_out = t + 2 * pt - kt + 1
+    assert out.shape[2] >= f_out and out.shape[3] >= t_out, (
+        out.shape, f_out, t_out,
+    )
+    out = out[:, :, :f_out, :t_out]
+    if bias is not None:
+        out = out + bias[None, :, None, None].astype(jnp.float32)
+    return out
+
+
 def conv_block(
     x: jnp.ndarray,
     p: ConvParams,

@@ -154,8 +154,11 @@ def test_speechfile_reads_aiff(tmp_path):
 def test_energy_vad_segments_finds_speech_region():
     from danspeech_tpu.audio.dsp import energy_vad_segments
 
+    # int16 sample scale, like every loader in danspeech_tpu.audio
     x = np.zeros(160000, np.float32)  # 10 s
-    x[16000:80000] = (np.sin(np.arange(64000) * 0.3) * 0.3).astype(np.float32)
+    x[16000:80000] = (
+        np.sin(np.arange(64000) * 0.3) * 0.3 * 32767
+    ).astype(np.float32)
     segs = energy_vad_segments(x)
     assert len(segs) == 1
     a, b = segs[0]

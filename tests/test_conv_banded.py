@@ -30,6 +30,28 @@ def test_banded_other_shapes():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "cin,cout,f,t",
+    [(32, 32, 81, 401), (32, 96, 41, 401), (32, 32, 80, 100), (3, 8, 33, 57)],
+)
+def test_s2d_freq_conv_matches_direct(cin, cout, f, t):
+    """Freq-only space-to-depth stride-(2,1) conv == direct conv — the
+    conv2/conv3 candidate (ops/conv.py:conv2d_s2d_freq), odd and even
+    freq sizes, including both flagship layer shapes."""
+    from danspeech_tpu.ops.conv import conv2d, conv2d_s2d_freq
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, cin, f, t)).astype(np.float32))
+    w = jnp.asarray(
+        rng.normal(size=(cout, cin, 21, 11)).astype(np.float32) * 0.05
+    )
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    direct = np.asarray(conv2d(x, w, b, (2, 1), (10, 5)))
+    s2d = np.asarray(conv2d_s2d_freq(x, w, b, (2, 1), (10, 5)))
+    assert s2d.shape == direct.shape
+    np.testing.assert_allclose(s2d, direct, rtol=1e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("f,t", [(161, 801), (161, 800), (160, 333), (81, 100)])
 def test_s2d_conv_matches_direct(f, t):
     """Space-to-depth C_in=1 stride-(2,2) conv == direct conv for odd and

@@ -64,13 +64,57 @@ def test_plan_groups_structure(engine, mixed_waveforms):
         for j, i in enumerate(idxs):
             n = len(mixed_waveforms[i])
             assert lengths[j] == n
-            assert maxlen - q < n <= maxlen
+            # rows fit their group's bucket; under-filled adjacent buckets
+            # may merge, so a row can sit below maxlen - q
+            assert n <= maxlen
             np.testing.assert_array_equal(batch[j, :n], mixed_waveforms[i])
             assert not batch[j, n:].any()
+        # the longest row in the group pins the bucket (merge never pads
+        # beyond the tallest member's own bucket)
+        tallest = max(len(mixed_waveforms[i]) for i in idxs)
+        assert maxlen - q < tallest <= maxlen
         # row count is a power of two; pad rows only pin a real length
         assert rows & (rows - 1) == 0 and rows >= len(idxs)
         for j in range(len(idxs), rows):
             assert lengths[j] == lengths[0]
+
+
+def test_plan_groups_merges_underfilled_buckets(engine):
+    """A VAD'd long recording (many short segments over several length
+    buckets) must dispatch as few, well-filled groups — not one tiny
+    group per bucket — while bounding the padded-volume inflation."""
+    rng = np.random.default_rng(0)
+    secs = [1.5, 2.4, 3.4, 3.5, 3.8, 4.3, 4.6, 4.9, 4.9, 5.1, 5.4, 5.8, 6.2]
+    waves = [
+        (rng.normal(size=int(s * 16000)) * 1000).astype(np.int16)
+        for s in secs
+    ]
+    plans = engine._plan_groups(waves)
+    assert sorted(i for idxs, _ in plans for i in idxs) == list(
+        range(len(waves))
+    )
+    # 6+ raw buckets merge down to a couple of dispatches
+    assert len(plans) <= 3
+    # inflation bound holds vs the unmerged per-bucket plan
+    q = engine.SAMPLE_BUCKET
+
+    def bucket(n):
+        return -(-n // q) * q
+
+    split_cost = sum(
+        engine._row_quantum(1) * bucket(len(w)) for w in waves
+    )
+    merged_cost = sum(
+        engine._row_quantum(len(idxs)) * maxlen for idxs, maxlen in plans
+    )
+    # merged volume stays within a small factor of the ideal per-row sum
+    assert merged_cost <= 4 * split_cost
+
+    # a group already at MAX_BATCH_ROWS never merges further
+    many = [np.zeros(8000, np.int16) for _ in range(engine.MAX_BATCH_ROWS)]
+    many += [np.zeros(20000, np.int16) for _ in range(4)]
+    plans2 = engine._plan_groups(many)
+    assert all(len(idxs) <= engine.MAX_BATCH_ROWS for idxs, _ in plans2)
 
 
 def test_staging_buffers_pinned_and_int16(engine, mixed_waveforms):
