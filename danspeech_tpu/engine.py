@@ -317,12 +317,19 @@ class DanSpeechRecognizer:
                 # on device); either way the cast to the STFT's float dtype
                 # happens on device
                 if waveforms.dtype == jnp.uint8:
-                    from .audio.dsp import ulaw_decode_table
-
-                    table = jnp.asarray(
-                        ulaw_decode_table().astype(np.float32)
-                    )
-                    waveforms = table[waveforms]
+                    # G.711 mu-law decode as VPU bit arithmetic — a
+                    # 256-entry LUT gather here halved the device-pipeline
+                    # rate (gathers are slow on TPU; measured 3.4k vs 7.1k
+                    # audio-s/s in bench_ulaw r5). Bit-exact with
+                    # audio/dsp.ulaw_decode_table (audioop.ulaw2lin
+                    # parity, pinned in test_engine_scheduler).
+                    code = (~waveforms.astype(jnp.int32)) & 0xFF
+                    exp = (code >> 4) & 7
+                    mant = code & 0x0F
+                    mag = (((mant << 3) + 0x84) << exp) - 0x84
+                    waveforms = jnp.where(
+                        (code & 0x80) != 0, -mag, mag
+                    ).astype(jnp.float32)
                 elif waveforms.dtype != jnp.float32:
                     waveforms = waveforms.astype(jnp.float32)
                 spect, frame_lens = stft_ops.batched_log_spectrogram(

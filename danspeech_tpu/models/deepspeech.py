@@ -243,6 +243,7 @@ def forward(
     input_lengths: jnp.ndarray,
     softmax: bool = True,
     rnn_impl: str = "auto",
+    rnn_remat: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full batch forward: (N, 1, F, T) spectrograms -> (N, T', C) probs.
 
@@ -250,7 +251,10 @@ def forward(
     logits for training (InferenceBatchSoftmax is identity in train mode).
     ``rnn_impl``: recurrence engine per ops/rnn.py:_resolve_impl — training
     passes "xla" (the lax.scan path is differentiable; the Mosaic forward
-    kernel has no VJP).
+    kernel has no VJP). ``rnn_remat``: checkpoint each RNN layer so the
+    backward pass recomputes its activations instead of storing the
+    (T, D, B, 3H) gate tensors — the HBM lever that lets training batches
+    fill the MXU's 128-row tile (train/step.py).
     """
     out_lengths = get_seq_lens(config, input_lengths)
     x = conv_stack(params, config, x, out_lengths)
@@ -259,8 +263,15 @@ def forward(
     x = x.reshape(n, c * f, t)  # collapse feature dim (model.py:501-502)
     x = jnp.transpose(x, (2, 0, 1))  # TxNxH
 
+    apply_layer = _apply_rnn_layer
+    if rnn_remat:
+        def apply_layer(config, entry, x, lengths, impl="auto"):
+            return jax.checkpoint(
+                lambda e, xx, ll: _apply_rnn_layer(config, e, xx, ll, impl)
+            )(entry, x, lengths)
+
     for entry in params["rnns"]:
-        x = _apply_rnn_layer(config, entry, x, out_lengths, impl=rnn_impl)
+        x = apply_layer(config, entry, x, out_lengths, impl=rnn_impl)
 
     if not config.bidirectional:
         x = conv_ops.hardtanh(conv_ops.lookahead(x, params["lookahead"]))

@@ -97,11 +97,22 @@ def make_train_step(config: DeepSpeechConfig, optimizer, frozen_mask=None):
     return train_step
 
 
+def _resolve_mixed_precision(mixed_precision) -> bool:
+    """"auto" -> bf16 matmuls on TPU backends, f32 elsewhere (this XLA CPU
+    build cannot execute bf16 dots; same platform rule as the engine's
+    compute_dtype, engine.py)."""
+    if mixed_precision == "auto":
+        return jax.devices()[0].platform in ("tpu", "axon")
+    return bool(mixed_precision)
+
+
 def make_wave_train_step(
     config: DeepSpeechConfig,
     optimizer,
     frozen_mask=None,
     augment: dict | bool | None = None,
+    mixed_precision: bool | str = "auto",
+    remat: bool = True,
 ):
     """Train step from PADDED WAVEFORMS — the data-pipeline entry point.
 
@@ -114,6 +125,14 @@ def make_wave_train_step(
     ``augment``: None/False disables; True uses SpecAugment defaults; a
     dict passes through as spec_augment kwargs. The PRNG key argument is
     consumed only when augmentation is on (trace-time branch).
+
+    ``mixed_precision``: run the fwd/bwd matmuls in bfloat16 (params stay
+    float32 masters for the optimizer; the cast is inside the autodiff so
+    gradients cast back). "auto" = on for TPU backends. ``remat``:
+    checkpoint each RNN layer so the backward recomputes activations
+    instead of storing (T, D, B, 3H) gate tensors — together these took
+    the flagship train step from 14 % to the committed figure of the v5e
+    roofline (benchmarks/train_throughput.json).
     """
     from ..features.spectrogram import AudioParser
     from ..ops import stft as stft_ops
@@ -122,6 +141,7 @@ def make_wave_train_step(
 
     parser = AudioParser(config.audio_conf)
     aug_kwargs = augment if isinstance(augment, dict) else {}
+    use_bf16 = _resolve_mixed_precision(mixed_precision)
 
     def train_step(
         state: TrainState,
@@ -142,9 +162,17 @@ def make_wave_train_step(
             )
             if augment:
                 spect = spec_augment(rng, spect, frame_lens, **aug_kwargs)
+            if use_bf16:
+                cast = ds.cast_matmul_weights(params)
+                # conv weights stay f32: lax.conv's VJP pairs the f32
+                # cotangent (preferred_element_type output) with the
+                # kernel and requires matching dtypes; the conv stack is
+                # <20 % of fwd FLOPs, the GRU matmuls are the win
+                cast["conv"] = params["conv"]
+                params = cast
             logits, out_lens = ds.forward(
                 params, config, spect[:, None, :, :], frame_lens,
-                softmax=False, rnn_impl="xla",
+                softmax=False, rnn_impl="xla", rnn_remat=remat,
             )
             nll = ctc_loss(
                 logits, out_lens, labels, label_lengths,

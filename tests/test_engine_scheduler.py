@@ -263,3 +263,20 @@ def test_ulaw_transfer_mode(model, mixed_waveforms):
 
     with pytest.raises(ValueError, match="transfer_format"):
         DanSpeechRecognizer(model_name=model, transfer_format="int4")
+
+
+def test_ulaw_arithmetic_decode_matches_table():
+    """The engine decodes mu-law with VPU bit arithmetic (a 256-entry LUT
+    gather halved the ulaw device-pipeline rate on TPU); it must equal
+    audio/dsp.ulaw_decode_table for every possible code."""
+    import jax.numpy as jnp
+
+    from danspeech_tpu.audio.dsp import ulaw_decode_table
+
+    codes = jnp.arange(256, dtype=jnp.uint8)
+    code = (~codes.astype(jnp.int32)) & 0xFF
+    exp = (code >> 4) & 7
+    mant = code & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    got = np.asarray(jnp.where((code & 0x80) != 0, -mag, mag))
+    np.testing.assert_array_equal(got, ulaw_decode_table().astype(np.int32))

@@ -196,7 +196,9 @@ def test_overfit_fixtures_to_zero_wer(overfit_dir):
 
     def stop(epoch, state, train_loss, _val):
         probe["losses"].append(train_loss)
-        if epoch < 50 or epoch % 25 != 0:
+        # the loss gate demands convergence margin (a marginal model can
+        # flip a char between numerically-equivalent XLA programs)
+        if epoch < 50 or epoch % 25 != 0 or train_loss >= 0.02:
             return False
         wer, texts = evaluator(state.params, dataset, batch_size=4)
         probe["wer"], probe["transcripts"] = wer, texts
@@ -227,6 +229,30 @@ def test_overfit_fixtures_to_zero_wer(overfit_dir):
     )
     assert probe["transcripts"] == targets
     assert probe["losses"][-1] < probe["losses"][0] / 10
+
+    # trained-model mu-law evidence: unlike the random-weight fixtures
+    # (chaotic under any perturbation — bench_ulaw.py's measured 23.6 %
+    # greedy CER delta is a worst-case bound), a trained model stays
+    # near-exact through the transfer_format="ulaw" serving path. An
+    # overfit 3-clip toy doesn't generalize to perturbed inputs
+    # perfectly, so the claim is a BOUND: a few char edits across all
+    # three clips — genuine 8-bit companding cost, NOT a serving bug
+    # (exact engine/evaluator program agreement on companded audio is
+    # pinned separately in test_engine_scheduler.test_ulaw_transfer_mode).
+    from danspeech_tpu.audio import load_audio_pcm16
+    from danspeech_tpu.decode.metrics import cer
+    from danspeech_tpu.engine import DanSpeechRecognizer
+    from danspeech_tpu.models import DeepSpeechModel
+
+    d = overfit_dir[0]
+    clips = [load_audio_pcm16(os.path.join(d, fname)) for fname, _ in OVERFIT]
+    eng = DanSpeechRecognizer(
+        model_name=DeepSpeechModel(config, state.params),
+        transfer_format="ulaw",
+    )
+    ulaw_texts = eng.transcribe_batch(clips)
+    char_edits = sum(cer(h, r) for h, r in zip(ulaw_texts, targets))
+    assert char_edits <= 3, (ulaw_texts, targets)
 
 
 def test_cli_trains_and_exports(overfit_dir, tmp_path):
