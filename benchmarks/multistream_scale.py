@@ -105,9 +105,12 @@ def main():
         "note": (
             "aggregate audio-s/s = streams x chunk-seconds / wall time; "
             "realtime_factor_per_stream > 1 means every session keeps up "
-            "in real time. Scaling flattens when the per-chunk dispatch "
-            "round trip stops dominating or the chunk step's matmul M dim "
-            "(= streams) fills the MXU's 128 lanes."
+            "in real time. On this environment's relay the cohort step is "
+            "TRANSFER-bound: each chunk uploads a (S, 161, ~104) float32 "
+            "feature block through the post-fetch ~15-50 MB/s band "
+            "(tunnel_characterization.json), so aggregate throughput "
+            "flattens with S; on a PCIe-attached host the same path is "
+            "compute-bound at the device chunk-step cost."
         ),
     }
     print(json.dumps(out, indent=2))

@@ -1,12 +1,13 @@
 """Training-step throughput on the real chip -> train_throughput.json.
 
-The training stack routes the recurrence through the differentiable XLA
-lax.scan (the Mosaic inference kernel has no VJP, train/step.py), so its
-on-chip speed is a distinct question from the inference numbers. This
-measures the full jitted wave->STFT->forward->CTC->backward->update
+Measures the full jitted wave->STFT->forward->CTC->backward->update
 program (make_wave_train_step) at a training-realistic shape and reports
 audio-seconds of speech trained per wall-second per chip, plus the
 model-FLOP utilization of the train step (fwd+bwd ~= 3x forward FLOPs).
+GRU training runs the Mosaic recurrence in BOTH directions of autodiff:
+the forward kernels plus the custom-VJP backward walk
+(ops/pallas_gru.py:gru_bwd_scan) — measured 585 -> 1,210 audio-s/s on
+the flagship shape when it replaced the lax.scan recurrence (r5).
 
 Usage: python benchmarks/train_throughput.py [--batch 32] [--seconds 8]
        [--hidden 1200] [--layers 9] [--iters 5]
@@ -145,10 +146,11 @@ def main():
         "unit": "audio-s/s/chip",
         "setup": (
             f"{args.layers}x{args.hidden} bidi GRU, {args.conv_layers} conv, "
-            f"{args.seconds:.0f}s rows, 48-label targets, rnn_impl=xla "
-            f"(differentiable scan), f32 master params, iters={args.iters}, "
-            f"TPU v5e 1 chip (r5); best point B={best['batch']} "
-            f"mixed_precision={best['mixed_precision']} remat={best['remat']}"
+            f"{args.seconds:.0f}s rows, 48-label targets, Mosaic fwd+bwd "
+            f"recurrence kernels (custom VJP), f32 master params, "
+            f"iters={args.iters}, TPU v5e 1 chip (r5); best point "
+            f"B={best['batch']} mixed_precision={best['mixed_precision']} "
+            f"remat={best['remat']}"
         ),
         "points": rows,
         "note": (
@@ -157,9 +159,11 @@ def main():
             "GRU-only with bwd counted as 2x fwd; conv/stft/ctc excluded, "
             "so true utilization is slightly higher. mixed_precision casts "
             "matmul weights to bf16 inside autodiff (f32 masters); remat "
-            "checkpoints each RNN layer so big batches fit HBM. The "
-            "remaining headroom is a Mosaic backward kernel (the forward "
-            "Mosaic kernel has no VJP)."
+            "checkpoints each RNN layer so big batches fit HBM. The GRU "
+            "backward is the Mosaic walk in pallas_gru.gru_bwd_scan "
+            "(gradient parity vs lax.scan pinned in "
+            "tests/test_pallas_grad.py); replacing the scan lifted the "
+            "best point from 817 to this figure."
         ),
         "measured": time.strftime("%Y-%m-%d"),
     }

@@ -249,9 +249,12 @@ def forward(
 
     Mirrors DeepSpeech.forward (model.py:496-515); ``softmax=False`` returns
     logits for training (InferenceBatchSoftmax is identity in train mode).
-    ``rnn_impl``: recurrence engine per ops/rnn.py:_resolve_impl — training
-    passes "xla" (the lax.scan path is differentiable; the Mosaic forward
-    kernel has no VJP). ``rnn_remat``: checkpoint each RNN layer so the
+    ``rnn_impl``: recurrence engine per ops/rnn.py:_resolve_impl. The GRU
+    Mosaic kernels are differentiable (custom-VJP backward walk,
+    ops/pallas_gru.py:gru_bwd_scan), so training uses "auto" for GRU;
+    LSTM/vanilla Mosaic kernels have no VJP and train via "xla"
+    (train/step.py:_train_rnn_impl). ``rnn_remat``: checkpoint each RNN
+    layer so the
     backward pass recomputes its activations instead of storing the
     (T, D, B, 3H) gate tensors — the HBM lever that lets training batches
     fill the MXU's 128-row tile (train/step.py).

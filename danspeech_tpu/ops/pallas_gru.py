@@ -858,3 +858,217 @@ def gru_scan(
         h0.astype(jnp.float32),
     )
     return out[:t_max], h_last
+
+
+# ---------------------------------------------------------------------------
+# Backward (training) kernel
+# ---------------------------------------------------------------------------
+#
+# The forward kernels above have no VJP, which forced training onto the XLA
+# lax.scan recurrence (train/step.py rnn_impl="xla" — measured ~20 % of the
+# bf16 roofline at the best batch, benchmarks/train_throughput.json). This
+# kernel is the Mosaic backward: it walks the chain in reverse, recomputes
+# the gates from the streamed bias-free projection gx and the h_{t-1} stream
+# (= the forward's out sequence shifted by one step in chain order, h0 at
+# the chain start), carries dL/dh in VMEM scratch, and streams out the
+# gate-preactivation gradients. The weight/bias/input gradients then fall
+# out of three big XLA einsums over those streams (MXU work, no recurrence):
+#
+#   dgh   = [dgx_r, dgx_z, dghn]
+#   dW_hh = sum_t h_{t-1}^T dgh_t          dW_ih = x^T dgx
+#   db_hh = sum dgh                        db_ih = sum dgx
+#   dx    = dgx @ W_ih^T
+#
+# Masking mirrors the forward exactly: every gate gradient carries the
+# row's (length > t) factor, so padded steps contribute only the dL/dh
+# pass-through — which is also what routes a dL/dh_last cotangent back to
+# each row's true final step.
+
+
+def _gru_bwd_kernel(
+    gx_ref,  # (U, B, 3H) seq dtype — bias-free input projection stream
+    hprev_ref,  # (U, B, H) seq dtype — h before step t (chain order)
+    dout_ref,  # (U, B, H) float32 — dL/d out_t
+    len_ref,  # (B, 1) int32
+    whh_ref,  # (H, 3H) weights dtype
+    bhh_ref,  # (1, 3H) float32
+    bih_ref,  # (1, 3H) float32
+    dhl_ref,  # (B, H) float32 — dL/dh_last (chain-final state)
+    dgx_ref,  # (U, B, 3H) float32 out — d(pre-activations) wrt gx
+    dghn_ref,  # (U, B, H) float32 out — n-part of dgh (r/z parts == dgx's)
+    dh0_ref,  # (B, H) float32 out — dL/dh0 (chain-initial state)
+    dh_scr,  # (B, H) float32 VMEM — carried dL/dh
+    *,
+    hidden: int,
+    reverse: bool,
+    unroll: int,
+):
+    """One grid step of the GRU backward walk.
+
+    ``reverse=True`` walks time blocks n-1..0 (the backward pass OF THE
+    FORWARD chain); ``reverse=False`` walks 0..n-1 (the backward pass of
+    the reverse-time chain, whose recurrence ran T-1..0). The streams are
+    all in NATURAL time order; the index maps deliver the right blocks.
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    block = (n_blocks - 1 - i) if reverse else i
+    base = block * unroll
+
+    @pl.when(i == 0)
+    def _():
+        dh_scr[:] = dhl_ref[:]
+
+    dh = dh_scr[:]
+    lengths = len_ref[:]
+    for k in range(unroll):
+        # traversal within the block runs opposite the chain's time order
+        kk = (unroll - 1 - k) if reverse else k
+        t = base + kk
+        m = (lengths > t).astype(jnp.float32)  # (B, 1)
+
+        # recompute the forward gates of step t
+        hprev = hprev_ref[kk].astype(jnp.float32)
+        gx = gx_ref[kk].astype(jnp.float32) + bih_ref[:]
+        gh = (
+            jnp.dot(
+                hprev.astype(whh_ref.dtype), whh_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + bhh_ref[:]
+        )
+        r = jax.nn.sigmoid(gx[:, :hidden] + gh[:, :hidden])
+        z = jax.nn.sigmoid(
+            gx[:, hidden : 2 * hidden] + gh[:, hidden : 2 * hidden]
+        )
+        ghn = gh[:, 2 * hidden :]
+        n = jnp.tanh(gx[:, 2 * hidden :] + r * ghn)
+
+        # h_t = m*h_new + (1-m)*h_{t-1}; out_t = m*h_new
+        dhnew = m * (dh + dout_ref[kk].astype(jnp.float32))
+        dn = dhnew * (1.0 - z)
+        dz = dhnew * (hprev - n)
+        dpre_n = dn * (1.0 - n * n)
+        dr = dpre_n * ghn
+        dpre_r = dr * r * (1.0 - r)
+        dpre_z = dz * z * (1.0 - z)
+        dghn = dpre_n * r
+
+        dgx_ref[kk] = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=-1)
+        dghn_ref[kk] = dghn
+
+        # dL/dh_{t-1}: the z-gated carry, the recurrent-matmul backprop,
+        # and the masked pass-through
+        dgh = jnp.concatenate([dpre_r, dpre_z, dghn], axis=-1)
+        dh = (
+            dhnew * z
+            + jax.lax.dot_general(
+                dgh.astype(whh_ref.dtype),
+                whh_ref[:],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + (1.0 - m) * dh
+        )
+
+    dh_scr[:] = dh
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        dh0_ref[:] = dh
+
+
+@functools.partial(
+    jax.jit, static_argnames=("reverse", "interpret", "unroll")
+)
+def gru_bwd_scan(
+    gx: jnp.ndarray,  # (T, B, 3H) — bias-free projection (seq dtype)
+    hprev: jnp.ndarray,  # (T, B, H) — h before each step, chain order
+    dout: jnp.ndarray,  # (T, B, H) float32
+    lengths: jnp.ndarray,  # (B,) int32
+    w_hh: jnp.ndarray,  # (H, 3H)
+    b_hh: jnp.ndarray,  # (3H,)
+    b_ih: jnp.ndarray,  # (3H,)
+    dh_last: jnp.ndarray,  # (B, H) float32
+    reverse: bool = True,
+    interpret: bool = False,
+    unroll: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Backward recurrence walk -> (dgx (T,B,3H) f32, dghn (T,B,H) f32,
+    dh0 (B,H) f32).
+
+    ``reverse=True`` for the forward chain's backward (traversal T-1..0);
+    ``reverse=False`` for the reverse-time chain's backward (0..T-1).
+    """
+    t_max, batch, g3 = gx.shape
+    hidden = w_hh.shape[0]
+    assert g3 == 3 * hidden
+
+    unroll = max(1, min(unroll, t_max))
+    t_pad = -(-t_max // unroll) * unroll
+    if t_pad != t_max:
+        pad3 = ((0, t_pad - t_max), (0, 0), (0, 0))
+        gx = jnp.pad(gx, pad3)
+        hprev = jnp.pad(hprev, pad3[:2] + ((0, 0),))
+        dout = jnp.pad(dout, pad3[:2] + ((0, 0),))
+    n_blocks = t_pad // unroll
+
+    time_ix = (
+        (lambda i: (n_blocks - 1 - i, 0, 0)) if reverse else (lambda i: (i, 0, 0))
+    )
+    const2 = lambda i: (0, 0)  # noqa: E731
+
+    dgx, dghn, dh0 = pl.pallas_call(
+        functools.partial(
+            _gru_bwd_kernel, hidden=hidden, reverse=reverse, unroll=unroll
+        ),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((unroll, batch, 3 * hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, batch, hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, batch, hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, 3 * hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((unroll, batch, 3 * hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, batch, hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, batch, 3 * hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((batch, hidden), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            # two (B,H)x(H,3H)-class matmuls per step
+            flops=2 * 2 * t_pad * batch * hidden * 3 * hidden,
+            bytes_accessed=(
+                gx.size * gx.dtype.itemsize
+                + hprev.size * hprev.dtype.itemsize
+                + dout.size * 4
+                + w_hh.size * w_hh.dtype.itemsize
+                + t_pad * batch * 4 * hidden * 4
+            ),
+            transcendentals=3 * t_pad * batch * hidden,
+        ),
+    )(
+        gx,
+        hprev,
+        dout.astype(jnp.float32),
+        lengths.astype(jnp.int32).reshape(batch, 1),
+        w_hh,
+        b_hh.astype(jnp.float32).reshape(1, 3 * hidden),
+        b_ih.astype(jnp.float32).reshape(1, 3 * hidden),
+        dh_last.astype(jnp.float32),
+    )
+    return dgx[:t_max], dghn[:t_max], dh0

@@ -179,8 +179,21 @@ def _gru_layer_pallas(
     (T, B, 3H) gx tensors never reach HBM. Falls back to the split
     einsum + gru_scan_bidi when the four weight matrices exceed the VMEM
     budget. Matches the lax.scan path bit-for-bit in masking/merge
-    semantics (tests/test_pallas_gru.py pin the two against each other)."""
+    semantics (tests/test_pallas_gru.py pin the two against each other).
+
+    The common inference/training shapes (h0 zeros; bidirectional-sum or
+    unidirectional) route through custom-VJP wrappers, so ``impl="pallas"``
+    is DIFFERENTIABLE: the backward is the Mosaic walk in
+    pallas_gru.gru_bwd_scan (gradient parity vs the lax.scan path pinned
+    in tests/test_pallas_grad.py). Carried-h0 (streaming) and concat-merge
+    calls keep the forward-only path."""
     from .pallas_gru import gru_scan, gru_scan_bidi, gru_scan_bidi_fused
+
+    if h0 is None:
+        if bwd is not None and sum_directions:
+            return _pallas_gru_bidi_sum(x, lengths, fwd, bwd)
+        if bwd is None:
+            return _pallas_gru_uni(x, lengths, fwd)
 
     t_max, batch, d_in = x.shape
     hidden = fwd.w_hh.shape[0]
@@ -241,6 +254,178 @@ def _gru_layer_pallas(
         out_f + out_b if sum_directions else jnp.concatenate([out_f, out_b], -1)
     )
     return merged, jnp.stack([hl_f, hl_b])
+
+
+def _pallas_bidi_raw(x, lengths, fwd: GRUWeights, bwd: GRUWeights):
+    """Pallas bidirectional forward returning per-direction streams (the
+    fused path when the four weight matrices fit VMEM, else the split
+    projection + gru_scan_bidi) — shared by the inference dispatch and the
+    custom-VJP training path, which keeps out_f/out_b as residuals."""
+    from .pallas_gru import (
+        backend_supports_mosaic,
+        gru_scan_bidi,
+        gru_scan_bidi_fused,
+    )
+
+    t_max, batch, d_in = x.shape
+    hidden = fwd.w_hh.shape[0]
+    mm_dtype = fwd.w_ih.dtype
+    interpret = not backend_supports_mosaic()
+    h0 = jnp.zeros((batch, hidden), jnp.float32)
+
+    wbytes = 2 * (d_in + hidden) * 3 * hidden * jnp.dtype(mm_dtype).itemsize
+    if wbytes <= 72 * 1024 * 1024:
+        return gru_scan_bidi_fused(
+            x.astype(mm_dtype), lengths,
+            fwd.w_ih, bwd.w_ih, fwd.w_hh, bwd.w_hh,
+            fwd.b_ih, bwd.b_ih, fwd.b_hh, bwd.b_hh,
+            h0, h0, interpret=interpret,
+        )
+    w_ih2 = jnp.concatenate([fwd.w_ih, bwd.w_ih], axis=1)
+    gx2 = jnp.einsum("tbi,ik->tbk", x.astype(mm_dtype), w_ih2)
+    g3 = 3 * hidden
+    return gru_scan_bidi(
+        gx2[..., :g3], gx2[..., g3:], lengths,
+        fwd.w_hh, bwd.w_hh, fwd.b_hh, bwd.b_hh, h0, h0,
+        interpret=interpret, b_ih_f=fwd.b_ih, b_ih_b=bwd.b_ih,
+    )
+
+
+def _gru_dir_grads(x, lengths, w: GRUWeights, out_dir, dout, dh_last,
+                   chain_reverse: bool, interpret: bool):
+    """Gradients for ONE direction: runs the Mosaic backward walk
+    (pallas_gru.gru_bwd_scan) over recomputed projections, then assembles
+    the weight/bias/input gradients with batched MXU einsums."""
+    from .pallas_gru import gru_bwd_scan
+
+    t_max, batch, _ = x.shape
+    hidden = w.w_hh.shape[0]
+    mm_dtype = w.w_ih.dtype
+    seq = out_dir.dtype
+
+    # bias-free projection, recomputed (cheaper than saving (T, B, 3H))
+    gx = jnp.einsum("tbi,ik->tbk", x.astype(mm_dtype), w.w_ih)
+    if chain_reverse:
+        # reverse-time chain: state before step t = state after step t+1;
+        # its h0 (zeros) applies at the chain start t = T-1
+        hprev = jnp.concatenate(
+            [out_dir[1:], jnp.zeros((1, batch, hidden), seq)], axis=0
+        )
+    else:
+        hprev = jnp.concatenate(
+            [jnp.zeros((1, batch, hidden), seq), out_dir[:-1]], axis=0
+        )
+    dgx, dghn, dh0 = gru_bwd_scan(
+        gx, hprev, dout, lengths, w.w_hh, w.b_hh, w.b_ih, dh_last,
+        # traversal runs opposite the chain's recurrence order
+        reverse=not chain_reverse, interpret=interpret,
+    )
+    del dh0  # h0 is fixed at zeros on this path
+
+    dgh = jnp.concatenate([dgx[..., : 2 * hidden], dghn], axis=-1)
+    dw_hh = jnp.einsum(
+        "tbh,tbg->hg", hprev.astype(mm_dtype), dgh.astype(mm_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    dw_ih = jnp.einsum(
+        "tbi,tbg->ig", x.astype(mm_dtype), dgx.astype(mm_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    dx = jnp.einsum(
+        "tbg,ig->tbi", dgx.astype(mm_dtype), w.w_ih,
+        preferred_element_type=jnp.float32,
+    )
+    grads = GRUWeights(
+        w_ih=dw_ih.astype(w.w_ih.dtype),
+        w_hh=dw_hh.astype(w.w_hh.dtype),
+        b_ih=dgx.sum(axis=(0, 1)).astype(w.b_ih.dtype),
+        b_hh=dgh.sum(axis=(0, 1)).astype(w.b_hh.dtype),
+    )
+    return dx, grads
+
+
+def _float0_like(a):
+    import numpy as _np
+
+    return _np.zeros(a.shape, dtype=jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def _pallas_gru_bidi_sum(x, lengths, fwd: GRUWeights, bwd: GRUWeights):
+    out_f, out_b, hl_f, hl_b = _pallas_bidi_raw(x, lengths, fwd, bwd)
+    return (
+        out_f.astype(jnp.float32) + out_b.astype(jnp.float32),
+        jnp.stack([hl_f, hl_b]),
+    )
+
+
+def _pallas_gru_bidi_sum_fwd(x, lengths, fwd, bwd):
+    out_f, out_b, hl_f, hl_b = _pallas_bidi_raw(x, lengths, fwd, bwd)
+    out = out_f.astype(jnp.float32) + out_b.astype(jnp.float32)
+    return (out, jnp.stack([hl_f, hl_b])), (x, lengths, fwd, bwd, out_f, out_b)
+
+
+def _pallas_gru_bidi_sum_bwd(res, ct):
+    from .pallas_gru import backend_supports_mosaic
+
+    x, lengths, fwd, bwd, out_f, out_b = res
+    d_out, d_hl = ct
+    interpret = not backend_supports_mosaic()
+    dx_f, dfwd = _gru_dir_grads(
+        x, lengths, fwd, out_f, d_out, d_hl[0],
+        chain_reverse=False, interpret=interpret,
+    )
+    dx_b, dbwd = _gru_dir_grads(
+        x, lengths, bwd, out_b, d_out, d_hl[1],
+        chain_reverse=True, interpret=interpret,
+    )
+    return (
+        (dx_f + dx_b).astype(x.dtype),
+        _float0_like(lengths),
+        dfwd,
+        dbwd,
+    )
+
+
+_pallas_gru_bidi_sum.defvjp(_pallas_gru_bidi_sum_fwd, _pallas_gru_bidi_sum_bwd)
+
+
+@jax.custom_vjp
+def _pallas_gru_uni(x, lengths, fwd: GRUWeights):
+    from .pallas_gru import backend_supports_mosaic, gru_scan
+
+    batch = x.shape[1]
+    hidden = fwd.w_hh.shape[0]
+    mm_dtype = fwd.w_ih.dtype
+    gx = jnp.einsum("tbi,ik->tbk", x.astype(mm_dtype), fwd.w_ih)
+    out, hl = gru_scan(
+        gx, lengths, fwd.w_hh, fwd.b_hh,
+        jnp.zeros((batch, hidden), jnp.float32),
+        reverse=False, interpret=not backend_supports_mosaic(),
+        b_ih=fwd.b_ih,
+    )
+    return out.astype(jnp.float32), hl[None]
+
+
+def _pallas_gru_uni_fwd(x, lengths, fwd):
+    out, hl = _pallas_gru_uni(x, lengths, fwd)
+    return (out, hl), (x, lengths, fwd, out)
+
+
+def _pallas_gru_uni_bwd(res, ct):
+    from .pallas_gru import backend_supports_mosaic
+
+    x, lengths, fwd, out = res
+    d_out, d_hl = ct
+    seq_out = out.astype(fwd.w_ih.dtype)
+    dx, dfwd = _gru_dir_grads(
+        x, lengths, fwd, seq_out, d_out, d_hl[0],
+        chain_reverse=False, interpret=not backend_supports_mosaic(),
+    )
+    return dx.astype(x.dtype), _float0_like(lengths), dfwd
+
+
+_pallas_gru_uni.defvjp(_pallas_gru_uni_fwd, _pallas_gru_uni_bwd)
 
 
 def gru_layer_streaming(

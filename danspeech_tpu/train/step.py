@@ -26,6 +26,18 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def _train_rnn_impl(config: DeepSpeechConfig) -> str:
+    """Recurrence engine for TRAINING forwards.
+
+    GRU layers use "auto" — the Mosaic kernels are differentiable (the
+    custom-VJP backward walk in ops/pallas_gru.py:gru_bwd_scan, gradient
+    parity pinned in tests/test_pallas_grad.py), so training rides the
+    same speed-of-light recurrence as inference on TPU. The LSTM/vanilla
+    Mosaic kernels have no VJP yet and pin the lax.scan path.
+    """
+    return "auto" if config.rnn_type == "gru" else "xla"
+
+
 def make_optimizer(
     learning_rate: float = 3e-4,
     weight_decay: float = 0.0,
@@ -64,10 +76,8 @@ def loss_fn(
     label_lengths: jnp.ndarray,
 ):
     logits, out_lengths = ds.forward(
-        # rnn_impl="xla": the differentiable lax.scan recurrence — the
-        # Mosaic forward kernel has no VJP, so grads on a TPU backend
-        # would fail under the "auto" dispatch
-        params, config, spect, frame_lengths, softmax=False, rnn_impl="xla"
+        params, config, spect, frame_lengths, softmax=False,
+        rnn_impl=_train_rnn_impl(config),
     )
     return mean_ctc_loss(
         logits, out_lengths, labels, label_lengths, blank_id=config.blank_index
@@ -172,7 +182,8 @@ def make_wave_train_step(
                 params = cast
             logits, out_lens = ds.forward(
                 params, config, spect[:, None, :, :], frame_lens,
-                softmax=False, rnn_impl="xla", rnn_remat=remat,
+                softmax=False, rnn_impl=_train_rnn_impl(config),
+                rnn_remat=remat,
             )
             nll = ctc_loss(
                 logits, out_lens, labels, label_lengths,
