@@ -890,7 +890,11 @@ def _gru_bwd_kernel(
     hprev_ref,  # (U, B, H) seq dtype — h before step t (chain order)
     dout_ref,  # (U, B, H) float32 — dL/d out_t
     len_ref,  # (B, 1) int32
-    whh_ref,  # (H, 3H) weights dtype
+    whh_ref,  # (H, 3H) weights dtype — for the gate recompute
+    whht_ref,  # (3H, H) weights dtype — pre-transposed for the dh backprop
+    #            (contracting the lane dim of whh in-kernel would transpose
+    #            every step; one host-side transpose keeps both matmuls on
+    #            natural layouts)
     bhh_ref,  # (1, 3H) float32
     bih_ref,  # (1, 3H) float32
     dhl_ref,  # (B, H) float32 — dL/dh_last (chain-final state)
@@ -962,10 +966,9 @@ def _gru_bwd_kernel(
         dgh = jnp.concatenate([dpre_r, dpre_z, dghn], axis=-1)
         dh = (
             dhnew * z
-            + jax.lax.dot_general(
-                dgh.astype(whh_ref.dtype),
-                whh_ref[:],
-                (((1,), (1,)), ((), ())),
+            + jnp.dot(
+                dgh.astype(whht_ref.dtype),
+                whht_ref[:],
                 preferred_element_type=jnp.float32,
             )
             + (1.0 - m) * dh
@@ -1029,6 +1032,7 @@ def gru_bwd_scan(
             pl.BlockSpec((unroll, batch, hidden), time_ix, memory_space=pltpu.VMEM),
             pl.BlockSpec((batch, 1), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, 3 * hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * hidden, hidden), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * hidden), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * hidden), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
@@ -1067,8 +1071,398 @@ def gru_bwd_scan(
         dout.astype(jnp.float32),
         lengths.astype(jnp.int32).reshape(batch, 1),
         w_hh,
+        w_hh.T,
         b_hh.astype(jnp.float32).reshape(1, 3 * hidden),
         b_ih.astype(jnp.float32).reshape(1, 3 * hidden),
         dh_last.astype(jnp.float32),
     )
     return dgx[:t_max], dghn[:t_max], dh0
+
+
+def _lstm_step_kernel_cell(
+    gx_ref, len_ref, whh_ref, bhh_ref, h0_ref, c0_ref,
+    out_ref, cout_ref, hlast_ref, clast_ref, h_scr, c_scr,
+    *, hidden: int, reverse: bool, unroll: int,
+):
+    """_lstm_step_kernel that ALSO streams the cell sequence (masked c_new)
+    — the residual the training backward walk needs (lstm_bwd_scan)."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    block = (n_blocks - 1 - i) if reverse else i
+    base = block * unroll
+
+    @pl.when(i == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    h = h_scr[:]
+    c = c_scr[:]
+    lengths = len_ref[:]
+    for k in range(unroll):
+        kk = (unroll - 1 - k) if reverse else k
+        t = base + kk
+        gh = (
+            jnp.dot(
+                h.astype(whh_ref.dtype), whh_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + bhh_ref[:]
+        )
+        g = gx_ref[kk].astype(jnp.float32) + gh
+        gi = jax.nn.sigmoid(g[:, :hidden])
+        gf = jax.nn.sigmoid(g[:, hidden : 2 * hidden])
+        gg = jnp.tanh(g[:, 2 * hidden : 3 * hidden])
+        go = jax.nn.sigmoid(g[:, 3 * hidden :])
+        c_new = gf * c + gi * gg
+        h_new = go * jnp.tanh(c_new)
+
+        m = (lengths > t).astype(jnp.float32)
+        h = m * h_new + (1.0 - m) * h
+        c = m * c_new + (1.0 - m) * c
+        out_ref[kk] = (h_new * m).astype(out_ref.dtype)
+        cout_ref[kk] = (c_new * m).astype(cout_ref.dtype)
+
+    h_scr[:] = h
+    c_scr[:] = c
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        hlast_ref[:] = h
+        clast_ref[:] = c
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "interpret", "unroll"))
+def lstm_scan_with_cell(
+    gx, lengths, w_hh, b_hh, h0, c0,
+    reverse: bool = False, interpret: bool = False, unroll: int = 1,
+):
+    """lstm_scan variant returning (out, c_seq, h_last, c_last) — the cell
+    sequence is the extra residual the custom-VJP backward consumes."""
+    t_max, batch, g4 = gx.shape
+    hidden = w_hh.shape[0]
+    assert g4 == 4 * hidden
+    seq_dtype = gx.dtype
+
+    unroll = max(1, min(unroll, t_max))
+    t_pad = -(-t_max // unroll) * unroll
+    if t_pad != t_max:
+        gx = jnp.pad(gx, ((0, t_pad - t_max), (0, 0), (0, 0)))
+    n_blocks = t_pad // unroll
+
+    time_ix = (
+        (lambda i: (n_blocks - 1 - i, 0, 0)) if reverse else (lambda i: (i, 0, 0))
+    )
+    const2 = lambda i: (0, 0)  # noqa: E731
+
+    out, cseq, h_last, c_last = pl.pallas_call(
+        functools.partial(
+            _lstm_step_kernel_cell, hidden=hidden, reverse=reverse,
+            unroll=unroll,
+        ),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((unroll, batch, 4 * hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, 4 * hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((unroll, batch, hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, batch, hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, batch, hidden), seq_dtype),
+            jax.ShapeDtypeStruct((t_pad, batch, hidden), seq_dtype),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((batch, hidden), jnp.float32),
+            pltpu.VMEM((batch, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(
+        gx,
+        lengths.astype(jnp.int32).reshape(batch, 1),
+        w_hh,
+        b_hh.astype(jnp.float32).reshape(1, 4 * hidden),
+        h0.astype(jnp.float32),
+        c0.astype(jnp.float32),
+    )
+    return out[:t_max], cseq[:t_max], h_last, c_last
+
+
+def _lstm_bwd_kernel(
+    gx_ref,  # (U, B, 4H) seq dtype — projection stream (b_ih included)
+    hprev_ref,  # (U, B, H) — h before step t (chain order)
+    cprev_ref,  # (U, B, H) — c before step t (chain order)
+    dout_ref,  # (U, B, H) float32
+    len_ref,  # (B, 1)
+    whh_ref,  # (H, 4H) — gate recompute
+    whht_ref,  # (4H, H) — dh backprop
+    bhh_ref,  # (1, 4H) float32
+    dg4_ref,  # (U, B, 4H) float32 out — gate pre-activation grads
+    dh0_ref,  # (B, H) float32 out
+    dc0_ref,  # (B, H) float32 out
+    dh_scr,  # (B, H) float32 VMEM
+    dc_scr,  # (B, H) float32 VMEM
+    *,
+    hidden: int,
+    reverse: bool,
+    unroll: int,
+):
+    """LSTM backward walk (torch gate order i, f, g, o). dg4 equals BOTH
+    the gx gradient and the gh gradient (the two enter additively), so the
+    weight/bias/input grads all reduce over this one stream."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    block = (n_blocks - 1 - i) if reverse else i
+    base = block * unroll
+
+    @pl.when(i == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    dh = dh_scr[:]
+    dc = dc_scr[:]
+    lengths = len_ref[:]
+    for k in range(unroll):
+        kk = (unroll - 1 - k) if reverse else k
+        t = base + kk
+        m = (lengths > t).astype(jnp.float32)
+
+        hprev = hprev_ref[kk].astype(jnp.float32)
+        cprev = cprev_ref[kk].astype(jnp.float32)
+        g = (
+            gx_ref[kk].astype(jnp.float32)
+            + jnp.dot(
+                hprev.astype(whh_ref.dtype), whh_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + bhh_ref[:]
+        )
+        gi = jax.nn.sigmoid(g[:, :hidden])
+        gf = jax.nn.sigmoid(g[:, hidden : 2 * hidden])
+        gg = jnp.tanh(g[:, 2 * hidden : 3 * hidden])
+        go = jax.nn.sigmoid(g[:, 3 * hidden :])
+        c_new = gf * cprev + gi * gg
+        tanh_c = jnp.tanh(c_new)
+
+        dhnew = m * (dh + dout_ref[kk].astype(jnp.float32))
+        do = dhnew * tanh_c
+        dc_new = dhnew * go * (1.0 - tanh_c * tanh_c) + m * dc
+        di = dc_new * gg
+        df = dc_new * cprev
+        dg = dc_new * gi
+        dpre_i = di * gi * (1.0 - gi)
+        dpre_f = df * gf * (1.0 - gf)
+        dpre_g = dg * (1.0 - gg * gg)
+        dpre_o = do * go * (1.0 - go)
+        dg4 = jnp.concatenate([dpre_i, dpre_f, dpre_g, dpre_o], axis=-1)
+        dg4_ref[kk] = dg4
+
+        dh = (
+            jnp.dot(
+                dg4.astype(whht_ref.dtype), whht_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + (1.0 - m) * dh
+        )
+        dc = dc_new * gf + (1.0 - m) * dc
+
+    dh_scr[:] = dh
+    dc_scr[:] = dc
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        dh0_ref[:] = dh
+        dc0_ref[:] = dc
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "interpret", "unroll"))
+def lstm_bwd_scan(
+    gx, hprev, cprev, dout, lengths, w_hh, b_hh,
+    reverse: bool = True, interpret: bool = False, unroll: int = 1,
+):
+    """LSTM backward walk -> (dg4 (T,B,4H) f32, dh0, dc0). ``reverse``
+    follows gru_bwd_scan's convention (traversal order, opposite the
+    chain's recurrence order)."""
+    t_max, batch, g4 = gx.shape
+    hidden = w_hh.shape[0]
+    assert g4 == 4 * hidden
+
+    unroll = max(1, min(unroll, t_max))
+    t_pad = -(-t_max // unroll) * unroll
+    if t_pad != t_max:
+        pad = ((0, t_pad - t_max), (0, 0), (0, 0))
+        gx = jnp.pad(gx, pad)
+        hprev = jnp.pad(hprev, pad[:2] + ((0, 0),))
+        cprev = jnp.pad(cprev, pad[:2] + ((0, 0),))
+        dout = jnp.pad(dout, pad[:2] + ((0, 0),))
+    n_blocks = t_pad // unroll
+
+    time_ix = (
+        (lambda i: (n_blocks - 1 - i, 0, 0)) if reverse else (lambda i: (i, 0, 0))
+    )
+    const2 = lambda i: (0, 0)  # noqa: E731
+
+    dg4, dh0, dc0 = pl.pallas_call(
+        functools.partial(
+            _lstm_bwd_kernel, hidden=hidden, reverse=reverse, unroll=unroll
+        ),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((unroll, batch, 4 * hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, batch, hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, batch, hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, batch, hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, 4 * hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * hidden, hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hidden), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((unroll, batch, 4 * hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, batch, 4 * hidden), jnp.float32),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((batch, hidden), jnp.float32),
+            pltpu.VMEM((batch, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        gx,
+        hprev,
+        cprev,
+        dout.astype(jnp.float32),
+        lengths.astype(jnp.int32).reshape(batch, 1),
+        w_hh,
+        w_hh.T,
+        b_hh.astype(jnp.float32).reshape(1, 4 * hidden),
+    )
+    return dg4[:t_max], dh0, dc0
+
+
+def _rnn_tanh_bwd_kernel(
+    out_ref,  # (U, B, H) seq dtype — forward outputs (h_new * m)
+    dout_ref,  # (U, B, H) float32
+    len_ref,  # (B, 1)
+    whht_ref,  # (H, H) — transposed recurrent weights
+    dpre_ref,  # (U, B, H) float32 out — pre-activation grads
+    dh0_ref,  # (B, H) float32 out
+    dh_scr,  # (B, H) float32 VMEM
+    *,
+    hidden: int,
+    reverse: bool,
+    unroll: int,
+):
+    """Vanilla tanh RNN backward walk: h_new is read straight off the out
+    stream (no gate recompute needed — tanh' = 1 - h_new^2)."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    block = (n_blocks - 1 - i) if reverse else i
+    base = block * unroll
+
+    @pl.when(i == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+
+    dh = dh_scr[:]
+    lengths = len_ref[:]
+    for k in range(unroll):
+        kk = (unroll - 1 - k) if reverse else k
+        t = base + kk
+        m = (lengths > t).astype(jnp.float32)
+        h_new = out_ref[kk].astype(jnp.float32)
+        dhnew = m * (dh + dout_ref[kk].astype(jnp.float32))
+        dpre = dhnew * (1.0 - h_new * h_new)
+        dpre_ref[kk] = dpre
+        dh = (
+            jnp.dot(
+                dpre.astype(whht_ref.dtype), whht_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + (1.0 - m) * dh
+        )
+
+    dh_scr[:] = dh
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        dh0_ref[:] = dh
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "interpret", "unroll"))
+def rnn_tanh_bwd_scan(
+    out, dout, lengths, w_hh,
+    reverse: bool = True, interpret: bool = False, unroll: int = 1,
+):
+    """Vanilla RNN backward walk -> (dpre (T,B,H) f32, dh0)."""
+    t_max, batch, hidden = out.shape
+
+    unroll = max(1, min(unroll, t_max))
+    t_pad = -(-t_max // unroll) * unroll
+    if t_pad != t_max:
+        pad = ((0, t_pad - t_max), (0, 0), (0, 0))
+        out = jnp.pad(out, pad)
+        dout = jnp.pad(dout, pad)
+    n_blocks = t_pad // unroll
+
+    time_ix = (
+        (lambda i: (n_blocks - 1 - i, 0, 0)) if reverse else (lambda i: (i, 0, 0))
+    )
+    const2 = lambda i: (0, 0)  # noqa: E731
+
+    dpre, dh0 = pl.pallas_call(
+        functools.partial(
+            _rnn_tanh_bwd_kernel, hidden=hidden, reverse=reverse,
+            unroll=unroll,
+        ),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((unroll, batch, hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, batch, hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, hidden), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((unroll, batch, hidden), time_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((batch, hidden), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(
+        out,
+        dout.astype(jnp.float32),
+        lengths.astype(jnp.int32).reshape(batch, 1),
+        w_hh.T,
+    )
+    return dpre[:t_max], dh0

@@ -20,6 +20,8 @@ matches torch: GRU (r, z, n), LSTM (i, f, g, o).
 
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple
 
 import jax
@@ -516,6 +518,153 @@ class LSTMWeights(NamedTuple):
     b_hh: jnp.ndarray  # (4H,)
 
 
+def _lstm_project(x, wts: LSTMWeights):
+    mm_dtype = wts.w_ih.dtype
+    return (
+        jnp.einsum(
+            "tbi,ik->tbk", x.astype(mm_dtype), wts.w_ih,
+            preferred_element_type=jnp.float32,
+        )
+        + wts.b_ih.astype(jnp.float32)
+    ).astype(mm_dtype)
+
+
+def _shift_chain(seq, chain_reverse: bool):
+    """State-before-step-t stream in natural time: the chain's previous
+    state is seq[t-1] for the forward chain (zeros at t=0) and seq[t+1]
+    for the reverse-time chain (zeros at t=T-1) — zeros because these
+    layers always start from h0=c0=0."""
+    zero = jnp.zeros_like(seq[:1])
+    if chain_reverse:
+        return jnp.concatenate([seq[1:], zero], axis=0)
+    return jnp.concatenate([zero, seq[:-1]], axis=0)
+
+
+def _lstm_dir_grads(x, lengths, w: LSTMWeights, out_dir, c_dir, dout,
+                    chain_reverse: bool, interpret: bool):
+    from .pallas_gru import lstm_bwd_scan
+
+    mm = w.w_ih.dtype
+    gx = _lstm_project(x, w)
+    hprev = _shift_chain(out_dir, chain_reverse)
+    cprev = _shift_chain(c_dir, chain_reverse)
+    dg4, _dh0, _dc0 = lstm_bwd_scan(
+        gx, hprev, cprev, dout, lengths, w.w_hh, w.b_hh,
+        reverse=not chain_reverse, interpret=interpret,
+    )
+    dw_hh = jnp.einsum(
+        "tbh,tbg->hg", hprev.astype(mm), dg4.astype(mm),
+        preferred_element_type=jnp.float32,
+    )
+    dw_ih = jnp.einsum(
+        "tbi,tbg->ig", x.astype(mm), dg4.astype(mm),
+        preferred_element_type=jnp.float32,
+    )
+    db = dg4.sum(axis=(0, 1))
+    dx = jnp.einsum(
+        "tbg,ig->tbi", dg4.astype(mm), w.w_ih,
+        preferred_element_type=jnp.float32,
+    )
+    # b_ih and b_hh enter the gates additively -> identical gradients
+    return dx, LSTMWeights(
+        w_ih=dw_ih.astype(w.w_ih.dtype),
+        w_hh=dw_hh.astype(w.w_hh.dtype),
+        b_ih=db.astype(w.b_ih.dtype),
+        b_hh=db.astype(w.b_hh.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _pallas_lstm(x, lengths, fwd, bwd, sum_directions):
+    from .pallas_gru import backend_supports_mosaic, lstm_scan
+
+    interpret = not backend_supports_mosaic()
+    batch = x.shape[1]
+    hidden = fwd.w_hh.shape[0]
+    h0 = jnp.zeros((batch, hidden), jnp.float32)
+    c0 = jnp.zeros((batch, hidden), jnp.float32)
+    out_f, _, _ = lstm_scan(
+        _lstm_project(x, fwd), lengths, fwd.w_hh, fwd.b_hh, h0, c0,
+        reverse=False, interpret=interpret,
+    )
+    out_f = out_f.astype(jnp.float32)
+    if bwd is None:
+        return out_f
+    out_b, _, _ = lstm_scan(
+        _lstm_project(x, bwd), lengths, bwd.w_hh, bwd.b_hh, h0, c0,
+        reverse=True, interpret=interpret,
+    )
+    out_b = out_b.astype(jnp.float32)
+    return (
+        out_f + out_b
+        if sum_directions
+        else jnp.concatenate([out_f, out_b], -1)
+    )
+
+
+def _pallas_lstm_fwd(x, lengths, fwd, bwd, sum_directions):
+    from .pallas_gru import backend_supports_mosaic, lstm_scan_with_cell
+
+    interpret = not backend_supports_mosaic()
+    batch = x.shape[1]
+    hidden = fwd.w_hh.shape[0]
+    h0 = jnp.zeros((batch, hidden), jnp.float32)
+    c0 = jnp.zeros((batch, hidden), jnp.float32)
+    out_f, c_f, _, _ = lstm_scan_with_cell(
+        _lstm_project(x, fwd), lengths, fwd.w_hh, fwd.b_hh, h0, c0,
+        reverse=False, interpret=interpret,
+    )
+    if bwd is None:
+        return out_f.astype(jnp.float32), (x, lengths, fwd, None, out_f, c_f, None, None)
+    out_b, c_b, _, _ = lstm_scan_with_cell(
+        _lstm_project(x, bwd), lengths, bwd.w_hh, bwd.b_hh, h0, c0,
+        reverse=True, interpret=interpret,
+    )
+    merged = (
+        out_f.astype(jnp.float32) + out_b.astype(jnp.float32)
+        if sum_directions
+        else jnp.concatenate(
+            [out_f.astype(jnp.float32), out_b.astype(jnp.float32)], -1
+        )
+    )
+    return merged, (x, lengths, fwd, bwd, out_f, c_f, out_b, c_b)
+
+
+def _pallas_lstm_bwd(sum_directions, res, d_out):
+    from .pallas_gru import backend_supports_mosaic
+
+    x, lengths, fwd, bwd, out_f, c_f, out_b, c_b = res
+    interpret = not backend_supports_mosaic()
+    hidden = fwd.w_hh.shape[0]
+    if bwd is None:
+        dx, dfwd = _lstm_dir_grads(
+            x, lengths, fwd, out_f, c_f, d_out,
+            chain_reverse=False, interpret=interpret,
+        )
+        return dx.astype(x.dtype), _float0_like(lengths), dfwd, None
+    if sum_directions:
+        dout_f = dout_b = d_out
+    else:
+        dout_f, dout_b = d_out[..., :hidden], d_out[..., hidden:]
+    dx_f, dfwd = _lstm_dir_grads(
+        x, lengths, fwd, out_f, c_f, dout_f,
+        chain_reverse=False, interpret=interpret,
+    )
+    dx_b, dbwd = _lstm_dir_grads(
+        x, lengths, bwd, out_b, c_b, dout_b,
+        chain_reverse=True, interpret=interpret,
+    )
+    return (
+        (dx_f + dx_b).astype(x.dtype),
+        _float0_like(lengths),
+        dfwd,
+        dbwd,
+    )
+
+
+_pallas_lstm.defvjp(_pallas_lstm_fwd, _pallas_lstm_bwd)
+
+
 def _resolve_impl(impl: str) -> str:
     """"auto" -> DANSPEECH_TPU_GRU_IMPL env override -> pallas on Mosaic
     backends, xla elsewhere. The ONE dispatch rule for every rnn layer
@@ -544,46 +693,11 @@ def lstm_layer(
     Supports the reference's ``rnn_type='lstm'`` checkpoints
     (model.py:14-18 supported_rnns). ``impl`` dispatches like
     :func:`gru_layer`: the Mosaic kernel (ops/pallas_gru.lstm_scan) on TPU
-    backends, lax.scan elsewhere.
+    backends, lax.scan elsewhere. The pallas path is differentiable via
+    the custom-VJP Mosaic backward (pallas_gru.lstm_bwd_scan).
     """
     if _resolve_impl(impl) == "pallas":
-        from .pallas_gru import backend_supports_mosaic, lstm_scan
-
-        interpret = not backend_supports_mosaic()
-        t_max, batch, _ = x.shape
-        hidden = fwd.w_hh.shape[0]
-        mm_dtype = fwd.w_ih.dtype
-        h0 = jnp.zeros((batch, hidden), jnp.float32)
-        c0 = jnp.zeros((batch, hidden), jnp.float32)
-
-        def project(wts):
-            return (
-                jnp.einsum(
-                    "tbi,ik->tbk",
-                    x.astype(mm_dtype),
-                    wts.w_ih,
-                    preferred_element_type=jnp.float32,
-                )
-                + wts.b_ih.astype(jnp.float32)
-            ).astype(mm_dtype)
-
-        out_f, _, _ = lstm_scan(
-            project(fwd), lengths, fwd.w_hh, fwd.b_hh, h0, c0,
-            reverse=False, interpret=interpret,
-        )
-        out_f = out_f.astype(jnp.float32)
-        if bwd is None:
-            return out_f
-        out_b, _, _ = lstm_scan(
-            project(bwd), lengths, bwd.w_hh, bwd.b_hh, h0, c0,
-            reverse=True, interpret=interpret,
-        )
-        out_b = out_b.astype(jnp.float32)
-        return (
-            out_f + out_b
-            if sum_directions
-            else jnp.concatenate([out_f, out_b], -1)
-        )
+        return _pallas_lstm(x, lengths, fwd, bwd, sum_directions)
     t_max, batch, _ = x.shape
     hidden = fwd.w_hh.shape[0]
     directions = [fwd] if bwd is None else [fwd, bwd]
@@ -641,6 +755,131 @@ class RNNWeights(NamedTuple):
     b_hh: jnp.ndarray  # (H,)
 
 
+def _rnn_project(x, wts: "RNNWeights"):
+    mm_dtype = wts.w_ih.dtype
+    return (
+        jnp.einsum(
+            "tbi,ik->tbk", x.astype(mm_dtype), wts.w_ih,
+            preferred_element_type=jnp.float32,
+        )
+        + (wts.b_ih + wts.b_hh).astype(jnp.float32)
+    ).astype(mm_dtype)
+
+
+def _rnn_dir_grads(x, lengths, w: "RNNWeights", out_dir, dout,
+                   chain_reverse: bool, interpret: bool):
+    from .pallas_gru import rnn_tanh_bwd_scan
+
+    mm = w.w_ih.dtype
+    dpre, _dh0 = rnn_tanh_bwd_scan(
+        out_dir, dout, lengths, w.w_hh,
+        reverse=not chain_reverse, interpret=interpret,
+    )
+    hprev = _shift_chain(out_dir, chain_reverse)
+    dw_hh = jnp.einsum(
+        "tbh,tbg->hg", hprev.astype(mm), dpre.astype(mm),
+        preferred_element_type=jnp.float32,
+    )
+    dw_ih = jnp.einsum(
+        "tbi,tbg->ig", x.astype(mm), dpre.astype(mm),
+        preferred_element_type=jnp.float32,
+    )
+    db = dpre.sum(axis=(0, 1))
+    dx = jnp.einsum(
+        "tbg,ig->tbi", dpre.astype(mm), w.w_ih,
+        preferred_element_type=jnp.float32,
+    )
+    return dx, RNNWeights(
+        w_ih=dw_ih.astype(w.w_ih.dtype),
+        w_hh=dw_hh.astype(w.w_hh.dtype),
+        b_ih=db.astype(w.b_ih.dtype),
+        b_hh=db.astype(w.b_hh.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _pallas_rnn_tanh(x, lengths, fwd, bwd, sum_directions):
+    from .pallas_gru import backend_supports_mosaic, rnn_tanh_scan
+
+    interpret = not backend_supports_mosaic()
+    out_f, _ = rnn_tanh_scan(
+        _rnn_project(x, fwd), lengths, fwd.w_hh,
+        reverse=False, interpret=interpret,
+    )
+    out_f = out_f.astype(jnp.float32)
+    if bwd is None:
+        return out_f
+    out_b, _ = rnn_tanh_scan(
+        _rnn_project(x, bwd), lengths, bwd.w_hh,
+        reverse=True, interpret=interpret,
+    )
+    out_b = out_b.astype(jnp.float32)
+    return (
+        out_f + out_b
+        if sum_directions
+        else jnp.concatenate([out_f, out_b], -1)
+    )
+
+
+def _pallas_rnn_tanh_fwd(x, lengths, fwd, bwd, sum_directions):
+    from .pallas_gru import backend_supports_mosaic, rnn_tanh_scan
+
+    interpret = not backend_supports_mosaic()
+    out_f, _ = rnn_tanh_scan(
+        _rnn_project(x, fwd), lengths, fwd.w_hh,
+        reverse=False, interpret=interpret,
+    )
+    if bwd is None:
+        return out_f.astype(jnp.float32), (x, lengths, fwd, None, out_f, None)
+    out_b, _ = rnn_tanh_scan(
+        _rnn_project(x, bwd), lengths, bwd.w_hh,
+        reverse=True, interpret=interpret,
+    )
+    merged = (
+        out_f.astype(jnp.float32) + out_b.astype(jnp.float32)
+        if sum_directions
+        else jnp.concatenate(
+            [out_f.astype(jnp.float32), out_b.astype(jnp.float32)], -1
+        )
+    )
+    return merged, (x, lengths, fwd, bwd, out_f, out_b)
+
+
+def _pallas_rnn_tanh_bwd(sum_directions, res, d_out):
+    from .pallas_gru import backend_supports_mosaic
+
+    x, lengths, fwd, bwd, out_f, out_b = res
+    interpret = not backend_supports_mosaic()
+    hidden = fwd.w_hh.shape[0]
+    if bwd is None:
+        dx, dfwd = _rnn_dir_grads(
+            x, lengths, fwd, out_f, d_out,
+            chain_reverse=False, interpret=interpret,
+        )
+        return dx.astype(x.dtype), _float0_like(lengths), dfwd, None
+    if sum_directions:
+        dout_f = dout_b = d_out
+    else:
+        dout_f, dout_b = d_out[..., :hidden], d_out[..., hidden:]
+    dx_f, dfwd = _rnn_dir_grads(
+        x, lengths, fwd, out_f, dout_f,
+        chain_reverse=False, interpret=interpret,
+    )
+    dx_b, dbwd = _rnn_dir_grads(
+        x, lengths, bwd, out_b, dout_b,
+        chain_reverse=True, interpret=interpret,
+    )
+    return (
+        (dx_f + dx_b).astype(x.dtype),
+        _float0_like(lengths),
+        dfwd,
+        dbwd,
+    )
+
+
+_pallas_rnn_tanh.defvjp(_pallas_rnn_tanh_fwd, _pallas_rnn_tanh_bwd)
+
+
 def rnn_tanh_layer(
     x: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -650,39 +889,11 @@ def rnn_tanh_layer(
     impl: str = "auto",
 ):
     """Vanilla tanh RNN layer (reference ``rnn_type='rnn'``). ``impl``
-    dispatches like :func:`gru_layer` (Mosaic kernel on TPU backends)."""
+    dispatches like :func:`gru_layer` (Mosaic kernel on TPU backends);
+    the pallas path is differentiable via the custom-VJP Mosaic backward
+    (pallas_gru.rnn_tanh_bwd_scan)."""
     if _resolve_impl(impl) == "pallas":
-        from .pallas_gru import backend_supports_mosaic, rnn_tanh_scan
-
-        interpret = not backend_supports_mosaic()
-        mm_dtype = fwd.w_ih.dtype
-
-        def project(wts):
-            return (
-                jnp.einsum(
-                    "tbi,ik->tbk",
-                    x.astype(mm_dtype),
-                    wts.w_ih,
-                    preferred_element_type=jnp.float32,
-                )
-                + (wts.b_ih + wts.b_hh).astype(jnp.float32)
-            ).astype(mm_dtype)
-
-        out_f, _ = rnn_tanh_scan(
-            project(fwd), lengths, fwd.w_hh, reverse=False, interpret=interpret
-        )
-        out_f = out_f.astype(jnp.float32)
-        if bwd is None:
-            return out_f
-        out_b, _ = rnn_tanh_scan(
-            project(bwd), lengths, bwd.w_hh, reverse=True, interpret=interpret
-        )
-        out_b = out_b.astype(jnp.float32)
-        return (
-            out_f + out_b
-            if sum_directions
-            else jnp.concatenate([out_f, out_b], -1)
-        )
+        return _pallas_rnn_tanh(x, lengths, fwd, bwd, sum_directions)
     t_max, batch, _ = x.shape
     hidden = fwd.w_hh.shape[0]
     directions = [fwd] if bwd is None else [fwd, bwd]

@@ -32,6 +32,7 @@ def main(argv=None):
                     help="disable SpecAugment")
     ap.add_argument("--hidden", type=int, default=800)
     ap.add_argument("--rnn-layers", type=int, default=5)
+    ap.add_argument("--rnn-type", default="gru", choices=["gru", "lstm", "rnn"])
     ap.add_argument("--conv-layers", type=int, default=2)
     ap.add_argument("--unidirectional", action="store_true")
     ap.add_argument("--finetune-from", default=None,
@@ -62,6 +63,7 @@ def main(argv=None):
             model_name="danspeech_tpu_train",
             rnn_hidden_size=args.hidden,
             rnn_layers=args.rnn_layers,
+            rnn_type=args.rnn_type,
             conv_layers=args.conv_layers,
             bidirectional=not args.unidirectional,
         )

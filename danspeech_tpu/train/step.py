@@ -29,13 +29,15 @@ class TrainState(NamedTuple):
 def _train_rnn_impl(config: DeepSpeechConfig) -> str:
     """Recurrence engine for TRAINING forwards.
 
-    GRU layers use "auto" — the Mosaic kernels are differentiable (the
-    custom-VJP backward walk in ops/pallas_gru.py:gru_bwd_scan, gradient
-    parity pinned in tests/test_pallas_grad.py), so training rides the
-    same speed-of-light recurrence as inference on TPU. The LSTM/vanilla
-    Mosaic kernels have no VJP yet and pin the lax.scan path.
+    "auto" — every recurrence family's Mosaic kernels are differentiable
+    (custom-VJP backward walks in ops/pallas_gru.py: gru_bwd_scan,
+    lstm_bwd_scan, rnn_tanh_bwd_scan; gradient parity vs lax.scan pinned
+    in tests/test_pallas_grad.py), so training rides the same
+    speed-of-light recurrences as inference on TPU backends and the
+    lax.scan path elsewhere.
     """
-    return "auto" if config.rnn_type == "gru" else "xla"
+    del config
+    return "auto"
 
 
 def make_optimizer(

@@ -106,6 +106,77 @@ def test_pallas_forward_values_unchanged_by_vjp_wrapper():
     )
 
 
+@pytest.mark.parametrize("sum_directions", [True, False])
+def test_lstm_grads_match_xla(sum_directions):
+    rng = np.random.default_rng(4)
+    t, b, d_in, hidden = 12, 3, 7, 8
+    x = jnp.asarray(rng.normal(size=(t, b, d_in)).astype(np.float32))
+    lengths = jnp.asarray([12, 9, 5], jnp.int32)
+
+    def lstm_w():
+        return rnn_ops.LSTMWeights(
+            w_ih=jnp.asarray(rng.normal(size=(d_in, 4 * hidden)).astype(np.float32) * 0.3),
+            w_hh=jnp.asarray(rng.normal(size=(hidden, 4 * hidden)).astype(np.float32) * 0.3),
+            b_ih=jnp.asarray(rng.normal(size=4 * hidden).astype(np.float32) * 0.3),
+            b_hh=jnp.asarray(rng.normal(size=4 * hidden).astype(np.float32) * 0.3),
+        )
+
+    fwd, bwd = lstm_w(), lstm_w()
+    width = hidden if sum_directions else 2 * hidden
+    r_out = jnp.asarray(rng.normal(size=(t, b, width)).astype(np.float32))
+
+    def f(impl):
+        def g(x, fwd, bwd):
+            out = rnn_ops.lstm_layer(
+                x, lengths, fwd, bwd,
+                sum_directions=sum_directions, impl=impl,
+            )
+            return jnp.sum(out * r_out)
+
+        return g
+
+    g_ref = jax.grad(f("xla"), argnums=(0, 1, 2))(x, fwd, bwd)
+    g_pal = jax.grad(f("pallas"), argnums=(0, 1, 2))(x, fwd, bwd)
+    for ref, got in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g_pal)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_rnn_tanh_grads_match_xla():
+    rng = np.random.default_rng(5)
+    t, b, d_in, hidden = 10, 2, 5, 8
+    x = jnp.asarray(rng.normal(size=(t, b, d_in)).astype(np.float32))
+    lengths = jnp.asarray([10, 6], jnp.int32)
+
+    def rnn_w():
+        return rnn_ops.RNNWeights(
+            w_ih=jnp.asarray(rng.normal(size=(d_in, hidden)).astype(np.float32) * 0.3),
+            w_hh=jnp.asarray(rng.normal(size=(hidden, hidden)).astype(np.float32) * 0.3),
+            b_ih=jnp.asarray(rng.normal(size=hidden).astype(np.float32) * 0.3),
+            b_hh=jnp.asarray(rng.normal(size=hidden).astype(np.float32) * 0.3),
+        )
+
+    fwd, bwd = rnn_w(), rnn_w()
+    r_out = jnp.asarray(rng.normal(size=(t, b, hidden)).astype(np.float32))
+
+    def f(impl):
+        def g(x, fwd, bwd):
+            out = rnn_ops.rnn_tanh_layer(x, lengths, fwd, bwd, impl=impl)
+            return jnp.sum(out * r_out)
+
+        return g
+
+    g_ref = jax.grad(f("xla"), argnums=(0, 1, 2))(x, fwd, bwd)
+    g_pal = jax.grad(f("pallas"), argnums=(0, 1, 2))(x, fwd, bwd)
+    for ref, got in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g_pal)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+
 def test_train_step_grads_pallas_vs_xla():
     """Full model loss gradients agree between the recurrence engines —
     the property that lets training run the Mosaic kernels on TPU."""
