@@ -471,18 +471,23 @@ class DanSpeechRecognizer:
         def cost(idxs, maxlen):
             return self._row_quantum(len(idxs)) * maxlen
 
-        merged: list[tuple[list[int], int]] = []
+        # the inflation bound compares each merged group against the sum
+        # of its constituents' ORIGINAL per-bucket costs (carried in
+        # orig), so chained merges cannot compound past the factor
+        merged: list[tuple[list[int], int, int]] = []  # (idxs, maxlen, orig)
         for idxs, maxlen in plans:  # ascending maxlen
+            own = cost(idxs, maxlen)
             if merged:
-                prev_idxs, prev_max = merged[-1]
+                prev_idxs, prev_max, prev_orig = merged[-1]
                 if len(prev_idxs) + len(idxs) <= self.MAX_BATCH_ROWS:
                     joint = cost(prev_idxs + idxs, maxlen)
-                    split = cost(prev_idxs, prev_max) + cost(idxs, maxlen)
-                    if joint <= self.MERGE_INFLATION * split:
-                        merged[-1] = (prev_idxs + idxs, maxlen)
+                    if joint <= self.MERGE_INFLATION * (prev_orig + own):
+                        merged[-1] = (
+                            prev_idxs + idxs, maxlen, prev_orig + own,
+                        )
                         continue
-            merged.append((list(idxs), maxlen))
-        return merged
+            merged.append((list(idxs), maxlen, own))
+        return [(idxs, maxlen) for idxs, maxlen, _ in merged]
 
     # total bytes of pinned staging buffers kept across calls; above this
     # the least-recently-used keys are dropped (a long-lived server seeing

@@ -30,6 +30,11 @@ def main(argv=None):
     ap.add_argument("--weight-decay", type=float, default=0.0)
     ap.add_argument("--no-augment", action="store_true",
                     help="disable SpecAugment")
+    ap.add_argument("--no-mixed-precision", action="store_true",
+                    help="keep matmul weights f32 (default: bf16 on TPU)")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="store RNN activations instead of recomputing "
+                         "in backward (costs HBM at large batch)")
     ap.add_argument("--hidden", type=int, default=800)
     ap.add_argument("--rnn-layers", type=int, default=5)
     ap.add_argument("--rnn-type", default="gru", choices=["gru", "lstm", "rnn"])
@@ -83,6 +88,8 @@ def main(argv=None):
         anneal=args.anneal or None,
         weight_decay=args.weight_decay,
         augment=not args.no_augment,
+        mixed_precision=False if args.no_mixed_precision else "auto",
+        remat=not args.no_remat,
         freeze_layers=args.freeze_layers,
         init_params=init_params,
         resume_dir=args.resume_dir,

@@ -62,6 +62,7 @@ def load_manifest(path: str, root: str | None = None) -> list[tuple[str, str]]:
     if root is None:
         root = os.path.dirname(os.path.abspath(path))
     items: list[tuple[str, str]] = []
+    saw_content = False  # header may follow comments/blank lines
     with open(path, "r", encoding="utf-8") as f:
         for lineno, line in enumerate(f):
             line = line.strip()
@@ -73,7 +74,9 @@ def load_manifest(path: str, root: str | None = None) -> list[tuple[str, str]]:
                 )
             wav, transcript = line.split(",", 1)
             wav = wav.strip()
-            if lineno == 0 and wav.lower() in (
+            first = not saw_content
+            saw_content = True
+            if first and wav.lower() in (
                 "file", "path", "wav_filename", "wav_path", "filename",
             ):
                 continue
@@ -113,16 +116,30 @@ class SpeechDataset:
     working set is one batch, not the corpus.
     """
 
+    # an utterance must hold at least one STFT frame; shorter (or empty)
+    # files would reach the batched spectrogram with a length that makes
+    # its dynamic reflect-pad index negative and poison the whole batch
+    # with weight-1 garbage — reject at construction instead
+    MIN_SAMPLES = 320  # n_fft at the 16 kHz / 20 ms window default
+
     def __init__(self, items: list[tuple[str, str]], labels: str):
         self.labels = labels
         self.utterances = [
             Utterance(p, t, _wav_num_samples(p)) for p, t in items
         ]
-        for u in self.utterances:
-            if not len(encode_transcript(u.transcript, labels)):
+        self.encoded = [
+            encode_transcript(u.transcript, labels) for u in self.utterances
+        ]
+        for u, enc in zip(self.utterances, self.encoded):
+            if not len(enc):
                 raise ValueError(
                     f"{u.path}: transcript encodes to zero labels: "
                     f"{u.transcript!r}"
+                )
+            if u.n_samples < self.MIN_SAMPLES:
+                raise ValueError(
+                    f"{u.path}: only {u.n_samples} samples — shorter than "
+                    f"one {self.MIN_SAMPLES}-sample STFT frame"
                 )
 
     @classmethod
@@ -174,10 +191,7 @@ def batches(
     if seed is not None and not (sortagrad and epoch == 0):
         np.random.default_rng((seed, epoch)).shuffle(groups)
 
-    enc = [
-        encode_transcript(u.transcript, dataset.labels)
-        for u in dataset.utterances
-    ]
+    enc = dataset.encoded  # encoded once at dataset construction
     for group in groups:
         waves = [dataset.load_wave(i) for i in group]
         labels = [enc[i] for i in group]

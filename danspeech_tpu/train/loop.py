@@ -114,6 +114,8 @@ def train(
     anneal: float | None = 1.1,
     weight_decay: float = 0.0,
     augment: dict | bool | None = True,
+    mixed_precision: bool | str = "auto",
+    remat: bool = True,
     freeze_layers: int = 0,
     init_params=None,
     resume_dir: str | None = None,
@@ -132,6 +134,11 @@ def train(
       (continue wrapper); overrides ``init_params``.
     - ``freeze_layers``: freeze the first N layers (reference
       freeze_layers semantics) — the finetune knob.
+    - ``mixed_precision`` / ``remat``: the make_wave_train_step knobs —
+      bf16 matmul weights (f32 masters; "auto" = on for TPU backends) and
+      per-layer activation rematerialization (lets big batches fit HBM;
+      the measured best point is B=128 with both on,
+      benchmarks/train_throughput.json).
     - ``mesh``: shard batch rows over the 'data' axis (batch_size must
       divide by the data-axis size).
     - ``stop_fn(epoch, state, train_loss, val_wer) -> bool``: early-stop
@@ -162,7 +169,8 @@ def train(
     )
     step_fn = jax.jit(
         make_wave_train_step(config, optimizer, frozen_mask=frozen,
-                             augment=augment),
+                             augment=augment,
+                             mixed_precision=mixed_precision, remat=remat),
         donate_argnums=(0,),
     )
     val_set = (

@@ -95,20 +95,24 @@ def test_plan_groups_merges_underfilled_buckets(engine):
     )
     # 6+ raw buckets merge down to a couple of dispatches
     assert len(plans) <= 3
-    # inflation bound holds vs the unmerged per-bucket plan
+    # the inflation invariant is against the UNMERGED per-bucket plan
+    # (constituent original costs carried through chained merges, so the
+    # factor cannot compound)
     q = engine.SAMPLE_BUCKET
 
     def bucket(n):
         return -(-n // q) * q
 
-    split_cost = sum(
-        engine._row_quantum(1) * bucket(len(w)) for w in waves
+    from collections import Counter
+
+    buckets = Counter(bucket(len(w)) for w in waves)
+    unmerged_cost = sum(
+        engine._row_quantum(n) * maxlen for maxlen, n in buckets.items()
     )
     merged_cost = sum(
         engine._row_quantum(len(idxs)) * maxlen for idxs, maxlen in plans
     )
-    # merged volume stays within a small factor of the ideal per-row sum
-    assert merged_cost <= 4 * split_cost
+    assert merged_cost <= engine.MERGE_INFLATION * unmerged_cost
 
     # a group already at MAX_BATCH_ROWS never merges further
     many = [np.zeros(8000, np.int16) for _ in range(engine.MAX_BATCH_ROWS)]

@@ -25,12 +25,6 @@ from danspeech_tpu.train import (
     train,
 )
 
-FIXTURES = sorted(
-    os.path.join("/root/reference/example_files", f)
-    for f in os.listdir("/root/reference/example_files")
-    if f.endswith(".wav")
-)
-
 # target transcripts for the overfit clips — arbitrary supervision (the
 # model is randomly initialized; the test proves the PIPELINE can fit a
 # mapping, not Danish ASR accuracy)
@@ -93,6 +87,31 @@ def test_load_manifest_parsing(tmp_path):
     # relative path resolved against the manifest dir; transcript keeps
     # its comma (split on FIRST comma only)
     assert items[1] == (wav, "ja, det er rigtigt")
+
+    # a header after leading comments/blank lines is still a header
+    man2 = tmp_path / "m2.csv"
+    man2.write_text(
+        f"# corpus v2\n\nfile,transcript\n{wav},hej\n", encoding="utf-8"
+    )
+    assert load_manifest(str(man2)) == [(wav, "hej")]
+
+
+def test_dataset_rejects_degenerate_utterances(tmp_path):
+    from danspeech_tpu.train import SpeechDataset
+
+    labels = DeepSpeechConfig().labels
+    ok = str(tmp_path / "ok.wav")
+    wavfile.write(ok, 16000, np.zeros(16000, np.int16))
+    short = str(tmp_path / "short.wav")
+    wavfile.write(short, 16000, np.zeros(100, np.int16))  # < one STFT frame
+
+    # a sub-frame wav would hit the STFT's dynamic reflect-pad with a
+    # negative index and poison the batch with weight-1 garbage
+    with pytest.raises(ValueError, match="STFT frame"):
+        SpeechDataset([(ok, "hej"), (short, "hej")], labels)
+    # unencodable transcript still rejected
+    with pytest.raises(ValueError, match="zero labels"):
+        SpeechDataset([(ok, "123!?")], labels)
 
 
 def test_batches_bucketing_and_padding(tmp_path):
