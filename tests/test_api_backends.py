@@ -77,6 +77,36 @@ def test_auto_backend_is_batch_aware_for_packable_lm(model, lm):
     assert eng.decoder._host is not None
 
 
+def test_auto_decoder_standalone_decode_routes_by_batch(model, lm):
+    """AutoBeamDecoder.decode() (the non-engine entry) must route by the
+    probs batch dimension and produce identical transcripts either way."""
+    import numpy as np
+
+    from danspeech_tpu.decode.beam_auto import AutoBeamDecoder
+    from danspeech_tpu.decode.lm import coerce_device_lm
+
+    labels = model.labels
+    dec = AutoBeamDecoder(
+        labels=labels, lm=lm, device_lm=coerce_device_lm(lm, labels),
+        alpha=1.0, beta=0.3, beam_width=8, blank_index=labels.index("_"),
+        crossover=2,
+    )
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(3, 40, len(labels))).astype(np.float32)
+    logits[:, :, 0] += 2.0
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    sizes = np.array([40, 33, 40])
+
+    texts_multi, _ = dec.decode(probs, sizes)  # B=3 >= crossover -> device
+    assert dec._device is not None
+    singles = [dec.decode(probs[b : b + 1], sizes[b : b + 1])[0][0]
+               for b in range(3)]  # B=1 < crossover -> host
+    assert dec._host is not None
+    for b in range(3):
+        assert singles[b][0] == texts_multi[b][0]
+
+
 def test_auto_backend_transcripts_match_pinned(model, lm, example_wav):
     """Auto routing must never change transcripts — both sides of the
     crossover reproduce the pinned host output."""

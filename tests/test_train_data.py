@@ -199,6 +199,28 @@ def test_wave_train_step_runs_and_shards(tmp_path):
     )
 
 
+def test_train_loop_with_mesh_shards_data_axis(overfit_dir):
+    """The public train() loop accepts a mesh and shards batch rows over
+    the 'data' axis — 2 epochs on the 8-device CPU mesh produce finite,
+    decreasing losses (step-level loss equality vs unsharded is pinned in
+    test_wave_train_step_runs_and_shards)."""
+    from danspeech_tpu.parallel.mesh import make_mesh
+
+    _, man = overfit_dir
+    config = DeepSpeechConfig(
+        model_name="mesh-loop", rnn_hidden_size=32, rnn_layers=1,
+        conv_layers=1,
+    )
+    losses = []
+    train(
+        config, man, epochs=2, batch_size=8, anneal=None, augment=False,
+        mesh=make_mesh(), log=lambda *a: None,
+        stop_fn=lambda e, s, l, v: losses.append(l) or False,
+    )
+    assert len(losses) == 2
+    assert np.isfinite(losses).all() and losses[1] < losses[0]
+
+
 def test_overfit_fixtures_to_zero_wer(overfit_dir):
     """End-to-end: train a small random model on 3 real fixture clips from
     a manifest until it transcribes them exactly (loss -> ~0, WER -> 0).
